@@ -1,17 +1,22 @@
 """Test harness: run everything on a virtual 8-device CPU mesh.
 
 Multi-chip sharding paths are exercised without TPU hardware via
-``xla_force_host_platform_device_count`` (see SURVEY.md §4).  Must set the
-flags before JAX initializes, hence the module-level os.environ writes.
+``xla_force_host_platform_device_count`` (see SURVEY.md §4).  The
+environment pins JAX_PLATFORMS=axon (the TPU tunnel), so we must override
+via jax.config before the backend initializes.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
