@@ -1,0 +1,15 @@
+"""Optimization back-end: batched LM, line BA, refinement, localization."""
+
+from limap_tpu.optimize.lm import (LMResult, lm_solve, retract_pose,
+                                   retract_quat_so2)
+from limap_tpu.optimize.line_ba import (LineBAConfig, get_output_tracks,
+                                        pack_minimal_lines, robust_weight,
+                                        solve_line_bundle_adjustment,
+                                        unpack_minimal_lines)
+
+__all__ = [
+    "LMResult", "lm_solve", "retract_pose", "retract_quat_so2",
+    "LineBAConfig", "get_output_tracks", "pack_minimal_lines",
+    "robust_weight", "solve_line_bundle_adjustment",
+    "unpack_minimal_lines",
+]
