@@ -1,0 +1,568 @@
+"""Global multi-view line triangulator — batched proposal + scoring engine.
+
+Re-designs /root/reference/src/limap/triangulation/base_line_triangulator.cc
+and global_line_triangulator.cc.  Differences by design:
+
+- Per-image processing keeps the reference's incremental structure
+  (TriangulateImage per image), but inside an image everything is one
+  fixed-shape kernel: all (line, match) pairs triangulate at once
+  ([E] proposals), and the O(tris^2) scoring runs as a single
+  ``[L, T, T]`` masked linker evaluation instead of nested OpenMP loops
+  (global_line_triangulator.cc:71-161).
+- The per-image support cap ("each image contributes only once",
+  :83-112) is a segment-max over neighbor slots.
+- Track building: valid-edge graph -> parallel connected components
+  (equivalent to the reference's default greedy strategy, see
+  limap_tpu.ops.connected_components) -> batched aggregation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from limap_tpu.base import line_dists as ld
+from limap_tpu.base import line_geometry as lgeo
+from limap_tpu.base.camera import CameraViewsBatch
+from limap_tpu.base.image_collection import ImageCollection
+from limap_tpu.base.line_linker import (LineLinker, LineLinker2dConfig,
+                                        LineLinker3dConfig, score_2d,
+                                        score_3d)
+from limap_tpu.base.lines import Segments
+from limap_tpu.base.linetrack import LineTrack, tracks_to_batch
+from limap_tpu.merging.aggregator import aggregate_tracks
+from limap_tpu.ops.connected_components import connected_components
+from limap_tpu.triangulation import functions as trifun
+
+
+@dataclasses.dataclass(frozen=True)
+class TriangulatorConfig:
+    """BaseLineTriangulatorConfig + GlobalLineTriangulatorConfig
+    (base_line_triangulator.h:20-43, global_line_triangulator.h:13-23),
+    defaults from cfgs/triangulation/default.yaml."""
+
+    add_halfpix: bool = False
+    use_vp: bool = False
+    use_endpoints_triangulation: bool = False
+    disable_many_points_triangulation: bool = False
+    disable_one_point_triangulation: bool = False
+    disable_algebraic_triangulation: bool = False
+    disable_vp_triangulation: bool = False
+    min_length_2d: float = 0.0
+    line_tri_angle_threshold: float = 1.0
+    IoU_threshold: float = 0.1
+    sensitivity_threshold: float = 70.0
+    var2d: float = 2.0
+    fullscore_th: float = 1.0
+    max_valid_conns: int = 1000
+    min_num_outer_edges: int = 0
+    merging_strategy: str = "greedy"
+    num_outliers_aggregator: int = 2
+    # padding buckets
+    max_tris_per_node: int = 64
+    # Linker defaults follow cfgs/triangulation/default.yaml:85-99 (the
+    # tuning the reference always loads), not the C++ class defaults.
+    linker2d: LineLinker2dConfig = dataclasses.field(
+        default_factory=lambda: LineLinker2dConfig(
+            th_angle=5.0, th_perp=2.0, th_overlap=0.05))
+    linker3d: LineLinker3dConfig = dataclasses.field(
+        default_factory=lambda: LineLinker3dConfig(
+            th_angle=10.0, th_overlap=0.05, th_smartoverlap=0.1,
+            th_smartangle=2.0, th_perp=1.0, th_innerseg=1.0,
+            th_scaleinv=0.015))
+
+    @classmethod
+    def from_dict(cls, d: Optional[dict]) -> "TriangulatorConfig":
+        if d is None:
+            return cls()
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kw = {k: v for k, v in d.items() if k in fields
+              and k not in ("linker2d", "linker3d")}
+        if "linker2d_config" in d:
+            kw["linker2d"] = LineLinker2dConfig.from_dict(d["linker2d_config"])
+        if "linker3d_config" in d:
+            kw["linker3d"] = LineLinker3dConfig.from_dict(d["linker3d_config"])
+        return cls(**kw)
+
+
+class GlobalLineTriangulator:
+    """Image-incremental triangulator with batched kernels.
+
+    Usage mirrors the reference (line_triangulation.py:102-168):
+      tri = GlobalLineTriangulator(cfg)
+      tri.init(all_2d_segs, imagecols); tri.set_ranges(ranges)
+      for img_id: tri.triangulate_image(img_id, matches[img_id])
+      tracks = tri.compute_line_tracks()
+    """
+
+    def __init__(self, cfg: TriangulatorConfig = TriangulatorConfig()):
+        self.cfg = cfg
+        self.ranges = None
+        self.vpresults = None
+        self._compiled = {}
+
+    # ------------------------------------------------------------ setup
+    def init(self, all_2d_segs: Dict[int, np.ndarray],
+             imagecols: ImageCollection) -> None:
+        assert imagecols.IsUndistorted(), "undistort images first"
+        self.imagecols = imagecols
+        self.img_ids = imagecols.get_img_ids()
+        self.id2idx = imagecols.img_id_to_index()
+        self.views = imagecols.batch()
+        I = len(self.img_ids)
+
+        L = max((len(all_2d_segs[i]) for i in self.img_ids), default=1)
+        L = max(int(2 ** np.ceil(np.log2(max(L, 8)))), 8)
+        self.L = L
+        lines = np.zeros((I, L, 4), np.float32)
+        mask = np.zeros((I, L), bool)
+        for row, img_id in enumerate(self.img_ids):
+            segs = np.asarray(all_2d_segs[img_id], np.float32)
+            n = len(segs)
+            if n:
+                lines[row, :n] = segs[:, :4]
+                mask[row, :n] = True
+        if self.cfg.add_halfpix:
+            lines[mask] += 0.5
+        self.lines2d = Segments(jnp.asarray(lines[..., :2]),
+                                jnp.asarray(lines[..., 2:4]))
+        self.line_mask = jnp.asarray(mask)
+        lengths = np.linalg.norm(lines[..., 2:4] - lines[..., :2], axis=-1)
+        self.line_ok = jnp.asarray(mask
+                                   & (lengths > self.cfg.min_length_2d))
+
+        # per-node state filled during triangulation
+        self.best_line3d = np.zeros((I, L, 2, 3), np.float32)
+        self.best_depths = np.zeros((I, L, 2), np.float32)
+        self.best_unc = np.full((I, L), 1e30, np.float32)
+        self.best_score = np.full((I, L), -1.0, np.float32)
+        self.valid_edge_ng = np.full(
+            (I, L, self.cfg.max_tris_per_node), -1, np.int64)  # global node
+        self.valid_edge_cnt = np.zeros((I, L), np.int32)
+
+    def set_ranges(self, ranges) -> None:
+        if ranges is not None:
+            self.ranges = (jnp.asarray(ranges[0], jnp.float32),
+                           jnp.asarray(ranges[1], jnp.float32))
+
+    def init_vp_results(self, vpresults: Dict[int, "object"]) -> None:
+        """vpresults: {img_id: VPResult} with per-line labels + vps."""
+        I, L = len(self.img_ids), self.L
+        vp = np.zeros((I, L, 3), np.float32)
+        has = np.zeros((I, L), bool)
+        for row, img_id in enumerate(self.img_ids):
+            res = vpresults.get(img_id) if hasattr(vpresults, "get") \
+                else vpresults[img_id]
+            if res is None:
+                continue
+            labels = np.asarray(res.labels)
+            vps = np.asarray(res.vps)
+            n = min(len(labels), L)
+            sel = labels[:n] >= 0
+            has[row, :n] = sel
+            vp[row, :n][sel] = vps[labels[:n][sel]]
+        self.vpresults = (jnp.asarray(vp), jnp.asarray(has))
+
+    # ------------------------------------------------- per-image kernels
+    def _proposal_kernel(self, E: int):
+        """Compiled proposal generator for an edge bucket of size E."""
+        cfg = self.cfg
+
+        @jax.jit
+        def run(views_kvec, views_qvec, views_tvec, l2d_start, l2d_end,
+                line_ok, edge_img, edge_a, edge_ng, edge_b, edge_valid,
+                vp_data, ranges_lo, ranges_hi):
+            views = CameraViewsBatch(views_kvec, views_qvec, views_tvec)
+            v1 = views.select(edge_img)
+            v2 = views.select(edge_ng)
+            l1 = Segments(l2d_start[edge_img, edge_a],
+                          l2d_end[edge_img, edge_a])
+            l2 = Segments(l2d_start[edge_ng, edge_b],
+                          l2d_end[edge_ng, edge_b])
+            valid = (edge_valid & line_ok[edge_img, edge_a]
+                     & line_ok[edge_ng, edge_b])
+
+            tris = []
+            if not cfg.disable_algebraic_triangulation:
+                # degeneracy: ray-plane angles (base_line_triangulator.cc:291-302)
+                n2 = trifun.get_normal_direction(l2, v2)
+                ray_s = v1.ray_direction(l1.start)
+                ray_e = v1.ray_direction(l1.end)
+                ang_s = 90.0 - jnp.degrees(jnp.arccos(jnp.clip(
+                    jnp.abs(jnp.sum(n2 * ray_s, -1)), 0, 1)))
+                ang_e = 90.0 - jnp.degrees(jnp.arccos(jnp.clip(
+                    jnp.abs(jnp.sum(n2 * ray_e, -1)), 0, 1)))
+                ok = ((ang_s >= cfg.line_tri_angle_threshold)
+                      & (ang_e >= cfg.line_tri_angle_threshold))
+                iou = trifun.compute_epipolar_iou(l1, v1, l2, v2)
+                ok &= iou >= cfg.IoU_threshold
+                if cfg.use_endpoints_triangulation:
+                    tri = trifun.triangulate_line_by_endpoints(l1, v1, l2, v2)
+                else:
+                    tri = trifun.triangulate_line_algebraic(l1, v1, l2, v2)
+                # sensitivity cull (:315-317)
+                s1 = lgeo.sensitivity(tri, v1)
+                s2 = lgeo.sensitivity(tri, v2)
+                ok &= ~((s1 > cfg.sensitivity_threshold)
+                        & (s2 > cfg.sensitivity_threshold))
+                tris.append((tri, ok & valid))
+            if cfg.use_vp and not cfg.disable_vp_triangulation \
+                    and vp_data is not None:
+                vp, has_vp = vp_data
+                for (img, idx) in ((edge_img, edge_a), (edge_ng, edge_b)):
+                    # both VP proposals use view1's frame
+                    # (base_line_triangulator.cc:259-288)
+                    direc = trifun.get_direction_from_vp(vp[img, idx], v1)
+                    tri = trifun.triangulate_line_with_direction(
+                        l1, v1, l2, v2, direc)
+                    tris.append((tri, valid & has_vp[img, idx]))
+
+            # stack proposal banks: [B*E]
+            def finalize(tri, ok):
+                ok = ok & (tri.score > 0)
+                if ranges_lo is not None:
+                    ok &= trifun.test_line_inside_ranges(
+                        tri, (ranges_lo, ranges_hi))
+                u1 = lgeo.compute_uncertainty(tri, v1, cfg.var2d)
+                u2 = lgeo.compute_uncertainty(tri, v2, cfg.var2d)
+                unc = jnp.minimum(u1, u2)
+                return tri._replace(uncertainty=unc,
+                                    score=jnp.where(ok, 1.0, -1.0)), ok
+
+            outs = [finalize(t, o) for (t, o) in tris]
+            start = jnp.concatenate([t.start for t, _ in outs])
+            end = jnp.concatenate([t.end for t, _ in outs])
+            depths = jnp.concatenate([t.depths for t, _ in outs])
+            unc = jnp.concatenate([t.uncertainty for t, _ in outs])
+            oks = jnp.concatenate([o for _, o in outs])
+            return start, end, depths, unc, oks
+
+        return run
+
+    def _scoring_kernel(self):
+        cfg = self.cfg
+        linker3d_scoring = cfg.linker3d.to_shared_parent_scoring()
+
+        @partial(jax.jit, static_argnums=(0,))
+        def run(K, tri_start, tri_end, tri_depths, tri_unc, tri_ok,
+                tri_ng_slot, tri_ng_view_kvec, tri_ng_view_qvec,
+                tri_ng_view_tvec, tri_ng_l2d_start, tri_ng_l2d_end):
+            """Score tris of all nodes of one image.
+
+            Shapes: [L, T, ...]; K = number of neighbor slots.
+            Returns node scores [L, T].
+            """
+            l_i = Segments(tri_start[:, :, None], tri_end[:, :, None],
+                           depths=tri_depths[:, :, None],
+                           uncertainty=tri_unc[:, :, None])
+            l_j = Segments(tri_start[:, None], tri_end[:, None],
+                           depths=tri_depths[:, None],
+                           uncertainty=tri_unc[:, None])
+            s3d = score_3d(l_i, l_j, linker3d_scoring)  # [L, T, T]
+
+            # 2D score: project tri_i into tri_j's neighbor view, compare
+            # with tri_j's matched 2D segment (global_line_triangulator.cc:100-102)
+            vj = CameraViewsBatch(tri_ng_view_kvec[:, None],
+                                  tri_ng_view_qvec[:, None],
+                                  tri_ng_view_tvec[:, None])  # [L, 1, T]
+            seg_i = Segments(tri_start[:, :, None], tri_end[:, :, None])
+            proj = lgeo.project_segments(seg_i, vj)  # [L, T, T, 2]
+            l2d_j = Segments(tri_ng_l2d_start[:, None],
+                             tri_ng_l2d_end[:, None])
+            s2d = score_2d(proj, l2d_j, cfg.linker2d)
+
+            s = jnp.minimum(s3d, s2d)  # [L, T, T]
+            pair_ok = (tri_ok[:, :, None] & tri_ok[:, None, :]
+                       & (tri_ng_slot[:, :, None] != tri_ng_slot[:, None, :]))
+            T = tri_start.shape[1]
+            pair_ok &= ~jnp.eye(T, dtype=bool)[None]
+            s = jnp.where(pair_ok, s, 0.0)
+
+            # one support per neighbor image: scatter-max into slot
+            # buckets, then sum over slots (cc:109-112)
+            L = tri_start.shape[0]
+            l_idx = jnp.arange(L)[:, None, None]
+            i_idx = jnp.arange(T)[None, :, None]
+            slot_j = tri_ng_slot[:, None, :]  # [L, 1, T] -> bcast [L, T, T]
+            m = jnp.zeros((L, T, K), s.dtype).at[l_idx, i_idx, slot_j].max(s)
+            scores = jnp.sum(m, axis=-1)  # [L, T]
+            return jnp.where(tri_ok, scores, -1.0)
+
+        return run
+
+    # ----------------------------------------------------- triangulation
+    def triangulate_image(self, img_id: int,
+                          matches: Dict[int, np.ndarray]) -> None:
+        """Triangulate + score all lines of one image against its
+        matched neighbors (TriangulateImage + ScoringCallback)."""
+        row = self.id2idx[img_id]
+        neighbors = sorted(matches.keys())
+        edge_list = []
+        for slot, ng_img_id in enumerate(neighbors):
+            m = np.asarray(matches[ng_img_id])
+            if m.size == 0:
+                continue
+            ng_row = self.id2idx[ng_img_id]
+            for a, b in m.astype(np.int64):
+                edge_list.append((row, int(a), ng_row, int(b), slot))
+        self._process_edges(row, np.asarray(edge_list, np.int64).reshape(
+            -1, 5), len(neighbors), [self.id2idx[n] for n in neighbors])
+
+    def triangulate_image_exhaustive(self, img_id: int,
+                                     neighbors: List[int]) -> None:
+        """All-pairs matching variant (TriangulateImageExhaustiveMatch)."""
+        row = self.id2idx[img_id]
+        n_lines = int(np.asarray(jnp.sum(self.line_mask[row])))
+        edge_list = []
+        ng_rows = []
+        for slot, ng_img_id in enumerate(neighbors):
+            ng_row = self.id2idx[ng_img_id]
+            ng_rows.append(ng_row)
+            n_ng = int(np.asarray(jnp.sum(self.line_mask[ng_row])))
+            for a in range(n_lines):
+                for b in range(n_ng):
+                    edge_list.append((row, a, ng_row, b, slot))
+        self._process_edges(row, np.asarray(edge_list, np.int64).reshape(
+            -1, 5), len(neighbors), ng_rows)
+
+    def _process_edges(self, row: int, edges: np.ndarray, K: int,
+                       ng_rows: List[int]) -> None:
+        if len(edges) == 0:
+            return
+        E = int(2 ** np.ceil(np.log2(max(len(edges), 32))))
+        key = ("prop", E)
+        if key not in self._compiled:
+            self._compiled[key] = self._proposal_kernel(E)
+        pad = E - len(edges)
+        ep = np.pad(edges, ((0, pad), (0, 0)))
+        evalid = np.arange(E) < len(edges)
+
+        lo = self.ranges[0] if self.ranges is not None else None
+        hi = self.ranges[1] if self.ranges is not None else None
+        run = self._compiled[key]
+        start, end, depths, unc, ok = run(
+            self.views.kvec, self.views.qvec, self.views.tvec,
+            self.lines2d.start, self.lines2d.end, self.line_ok,
+            jnp.asarray(ep[:, 0]), jnp.asarray(ep[:, 1]),
+            jnp.asarray(ep[:, 2]), jnp.asarray(ep[:, 3]),
+            jnp.asarray(evalid), self.vpresults, lo, hi)
+
+        start = np.array(start)
+        end = np.array(end)
+        depths = np.array(depths)
+        unc = np.array(unc)
+        ok = np.array(ok)
+
+        # proposals repeat the edge list per proposal bank
+        B = len(start) // E
+        e_rep = np.tile(ep, (B, 1))
+        ok &= np.tile(evalid, B)
+
+        # ---- group proposals by source line id into [L, T] slots ----
+        T = self.cfg.max_tris_per_node
+        L = self.L
+        sel = np.nonzero(ok)[0]
+        if len(sel) == 0:
+            return
+        a_ids = e_rep[sel, 1]
+        order = np.argsort(a_ids, kind="stable")
+        sel = sel[order]
+        a_sorted = a_ids[order]
+        # position within the group
+        starts = np.searchsorted(a_sorted, np.arange(L), side="left")
+        counts = np.searchsorted(a_sorted, np.arange(L), side="right") - starts
+        pos = np.arange(len(sel)) - starts[a_sorted]
+        keep = pos < T
+        sel = sel[keep]
+        a_keep = a_sorted[keep]
+        pos = pos[keep]
+
+        tri_start = np.zeros((L, T, 3), np.float32)
+        tri_end = np.zeros((L, T, 3), np.float32)
+        tri_depths = np.zeros((L, T, 2), np.float32)
+        tri_unc = np.ones((L, T), np.float32)
+        tri_okm = np.zeros((L, T), bool)
+        tri_ng_row = np.zeros((L, T), np.int64)
+        tri_ng_line = np.zeros((L, T), np.int64)
+        tri_ng_slot = np.zeros((L, T), np.int64)
+
+        tri_start[a_keep, pos] = start[sel]
+        tri_end[a_keep, pos] = end[sel]
+        tri_depths[a_keep, pos] = depths[sel]
+        tri_unc[a_keep, pos] = unc[sel]
+        tri_okm[a_keep, pos] = True
+        tri_ng_row[a_keep, pos] = e_rep[sel, 2]
+        tri_ng_line[a_keep, pos] = e_rep[sel, 3]
+        tri_ng_slot[a_keep, pos] = e_rep[sel, 4]
+
+        # ---- scoring ----
+        if "score" not in self._compiled:
+            self._compiled["score"] = self._scoring_kernel()
+        ngv = self.views.select(jnp.asarray(tri_ng_row))
+        ng_l2d_s = self.lines2d.start[jnp.asarray(tri_ng_row),
+                                      jnp.asarray(tri_ng_line)]
+        ng_l2d_e = self.lines2d.end[jnp.asarray(tri_ng_row),
+                                    jnp.asarray(tri_ng_line)]
+        scores = np.asarray(self._compiled["score"](
+            K, jnp.asarray(tri_start), jnp.asarray(tri_end),
+            jnp.asarray(tri_depths), jnp.asarray(tri_unc),
+            jnp.asarray(tri_okm), jnp.asarray(tri_ng_slot),
+            ngv.kvec, ngv.qvec, ngv.tvec, ng_l2d_s, ng_l2d_e))
+
+        # ---- best tri + valid edges per node (cc:118-153) ----
+        best = np.argmax(scores, axis=1)
+        rows = np.arange(L)
+        has_any = tri_okm[rows, best]
+        self.best_line3d[row, :, 0] = tri_start[rows, best]
+        self.best_line3d[row, :, 1] = tri_end[rows, best]
+        self.best_depths[row] = tri_depths[rows, best]
+        self.best_unc[row] = np.where(has_any, tri_unc[rows, best], 1e30)
+        self.best_score[row] = np.where(has_any, scores[rows, best], -1.0)
+
+        valid = tri_okm & (scores >= self.cfg.fullscore_th)
+        order2 = np.argsort(-scores, axis=1)
+        rank = np.empty_like(order2)
+        np.put_along_axis(rank, order2, np.arange(scores.shape[1])[None],
+                          axis=1)
+        valid &= rank < self.cfg.max_valid_conns
+        ng_global = tri_ng_row * L + tri_ng_line
+        cnt = np.minimum(valid.sum(1), self.cfg.max_tris_per_node)
+        self.valid_edge_cnt[row] = cnt
+        padded = np.full((L, self.cfg.max_tris_per_node), -1, np.int64)
+        for li in np.nonzero(cnt)[0]:
+            sel_e = np.nonzero(valid[li])[0][:cnt[li]]
+            padded[li, :len(sel_e)] = ng_global[li, sel_e]
+        self.valid_edge_ng[row] = padded
+
+    # ------------------------------------------------------ track build
+    def _filter_by_num_outer_edges(self) -> np.ndarray:
+        """Iterative degree filter (global_line_triangulator.cc:168-232)."""
+        I = len(self.img_ids)
+        L = self.L
+        flags = np.ones((I, L), bool)
+        if self.cfg.min_num_outer_edges <= 0:
+            return flags
+        counters = self.valid_edge_cnt.copy()
+        # reverse adjacency
+        src = np.repeat(np.arange(I * L).reshape(I, L)[..., None],
+                        self.cfg.max_tris_per_node, axis=-1)
+        dst = self.valid_edge_ng
+        ok = dst >= 0
+        rev: Dict[int, List[int]] = {}
+        for s, d in zip(src[ok], dst[ok]):
+            rev.setdefault(int(d), []).append(int(s))
+        from collections import deque
+        q = deque()
+        flags_flat = flags.reshape(-1)
+        cnt_flat = counters.reshape(-1)
+        for n in range(I * L):
+            if cnt_flat[n] < self.cfg.min_num_outer_edges:
+                flags_flat[n] = False
+                q.append(n)
+        while q:
+            n = q.popleft()
+            for p in rev.get(n, ()):
+                if not flags_flat[p]:
+                    continue
+                cnt_flat[p] -= 1
+                if cnt_flat[p] < self.cfg.min_num_outer_edges:
+                    flags_flat[p] = False
+                    q.append(p)
+        return flags_flat.reshape(I, L)
+
+    def compute_line_tracks(self) -> List[LineTrack]:
+        """run_clustering + build_tracks_from_clusters
+        (global_line_triangulator.cc:234-359)."""
+        I = len(self.img_ids)
+        L = self.L
+        flags = self._filter_by_num_outer_edges()
+
+        # undirected candidate edges between valid nodes
+        src = np.repeat(np.arange(I * L).reshape(I, L)[..., None],
+                        self.cfg.max_tris_per_node, axis=-1).reshape(-1)
+        dst = self.valid_edge_ng.reshape(-1)
+        ok = dst >= 0
+        src, dst = src[ok], dst[ok]
+        flags_flat = flags.reshape(-1)
+        ok = flags_flat[src] & flags_flat[dst]
+        src, dst = src[ok], dst[ok]
+        und = np.unique(np.sort(np.stack([src, dst], 1), axis=1), axis=0)
+
+        if len(und) == 0:
+            return []
+
+        # edge test: 3D linker score on the best tris (cc:276-284;
+        # reference keeps score = score_3d only)
+        cfg3d_cluster = self.cfg.linker3d.to_spatial_merging()
+        b_start = self.best_line3d[..., 0, :].reshape(I * L, 3)
+        b_end = self.best_line3d[..., 1, :].reshape(I * L, 3)
+        b_unc = self.best_unc.reshape(I * L)
+        b_score = self.best_score.reshape(I * L)
+
+        l1 = Segments(jnp.asarray(b_start[und[:, 0]]),
+                      jnp.asarray(b_end[und[:, 0]]),
+                      uncertainty=jnp.asarray(b_unc[und[:, 0]]))
+        l2 = Segments(jnp.asarray(b_start[und[:, 1]]),
+                      jnp.asarray(b_end[und[:, 1]]),
+                      uncertainty=jnp.asarray(b_unc[und[:, 1]]))
+        escore = np.asarray(score_3d(l1, l2, cfg3d_cluster))
+        both_valid = (b_score[und[:, 0]] > 0) & (b_score[und[:, 1]] > 0)
+        keep = (escore > 0) & both_valid
+        und = und[keep]
+        if len(und) == 0:
+            return []
+
+        E_pad = int(2 ** np.ceil(np.log2(max(len(und), 1))))
+        edges_pad = np.zeros((E_pad, 2), np.int32)
+        edges_pad[:len(und)] = und
+        emask = np.arange(E_pad) < len(und)
+        labels = np.asarray(connected_components(
+            I * L, jnp.asarray(edges_pad), jnp.asarray(emask)))
+
+        # group into tracks (>= 2 nodes with an edge)
+        deg = np.zeros(I * L, np.int64)
+        np.add.at(deg, und.reshape(-1), 1)
+        node_ids = np.nonzero(deg > 0)[0]
+        lab = labels[node_ids]
+        order = np.argsort(lab, kind="stable")
+        node_ids = node_ids[order]
+        lab = lab[order]
+        splits = np.nonzero(np.diff(lab))[0] + 1
+        groups = [g for g in np.split(node_ids, splits) if len(g) >= 2]
+        if not groups:
+            return []
+
+        l2s = np.asarray(self.lines2d.start).reshape(I * L, 2)
+        l2e = np.asarray(self.lines2d.end).reshape(I * L, 2)
+        img_ids_arr = np.asarray(self.img_ids)
+
+        tracks = []
+        for g in groups:
+            tracks.append(LineTrack(
+                image_id_list=[int(img_ids_arr[n // L]) for n in g],
+                line_id_list=[int(n % L) for n in g],
+                line2d_list=[np.stack([l2s[n], l2e[n]]) for n in g],
+                line3d_list=[np.stack([b_start[n], b_end[n]]) for n in g],
+                score_list=[float(b_score[n]) for n in g],
+                node_id_list=[int(n) for n in g],
+            ))
+
+        # batched aggregation (cc:346-351)
+        batch = tracks_to_batch(tracks, self.id2idx)
+        S = batch.max_supports
+        u_pad = np.ones((len(groups), S), np.float32)
+        for gi, g in enumerate(groups):
+            n = min(len(g), S)
+            u_pad[gi, :n] = b_unc[g[:n]]
+        seg3d = batch.line3d._replace(uncertainty=jnp.asarray(u_pad))
+        agg = aggregate_tracks(seg3d, batch.score, batch.mask,
+                               self.cfg.num_outliers_aggregator)
+        agg_s, agg_e = np.asarray(agg.start), np.asarray(agg.end)
+        for i, tr in enumerate(tracks):
+            tr.line = np.stack([agg_s[i], agg_e[i]])
+        return tracks
