@@ -1,0 +1,9 @@
+"""Multi-chip sharding: meshes, distributed hybrid BA."""
+
+from limap_tpu.parallel.mesh import (TRACK_AXIS, make_mesh, replicated,
+                                     track_sharding)
+from limap_tpu.parallel.sharded_ba import (HybridBAOptions, HybridBAState,
+                                           make_hybrid_ba_step)
+
+__all__ = ["TRACK_AXIS", "make_mesh", "replicated", "track_sharding",
+           "HybridBAOptions", "HybridBAState", "make_hybrid_ba_step"]
