@@ -1,0 +1,9 @@
+"""Point-SfM integration: model readers, neighbors, ranges."""
+
+from limap_tpu.pointsfm.colmap_reader import (ReadInfos, ReadPointTracks,
+                                              read_model, write_model_txt)
+from limap_tpu.pointsfm.sfm_model import (SfmModel, compute_metainfos,
+                                          compute_neighbors)
+
+__all__ = ["ReadInfos", "ReadPointTracks", "read_model", "write_model_txt",
+           "SfmModel", "compute_metainfos", "compute_neighbors"]

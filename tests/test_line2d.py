@@ -1,0 +1,111 @@
+"""Detector/extractor/matcher smoke + quality tests on synthetic images
+(the reference's runners/tests/line2d.py analog, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from limap_tpu.line2d.endpoints import (NNEndpointsMatcher,
+                                        PatchEndpointsExtractor)
+from limap_tpu.line2d.tpu_lsd import detect_segments
+
+
+def draw_synthetic_image(rng, H=240, W=320, n_lines=6, thickness=2):
+    """White background with dark straight segments."""
+    import cv2
+    img = np.full((H, W), 220, np.uint8)
+    gt = []
+    for _ in range(n_lines):
+        while True:
+            p1 = rng.uniform([20, 20], [W - 20, H - 20])
+            p2 = rng.uniform([20, 20], [W - 20, H - 20])
+            if np.linalg.norm(p2 - p1) > 60:
+                break
+        cv2.line(img, tuple(p1.astype(int)), tuple(p2.astype(int)), 40,
+                 thickness)
+        gt.append(np.concatenate([p1, p2]))
+    noise = rng.normal(size=(H, W)) * 3
+    img = np.clip(img.astype(np.float64) + noise, 0, 255).astype(np.uint8)
+    return img, np.asarray(gt)
+
+
+def seg_to_gt_dist(seg, gt):
+    """Symmetric endpoint distance to the closest GT segment."""
+    d1 = (np.linalg.norm(seg[:2] - gt[:, :2], axis=1)
+          + np.linalg.norm(seg[2:4] - gt[:, 2:4], axis=1))
+    d2 = (np.linalg.norm(seg[:2] - gt[:, 2:4], axis=1)
+          + np.linalg.norm(seg[2:4] - gt[:, :2], axis=1))
+    return np.minimum(d1, d2).min()
+
+
+def gt_coverage(gt_line, segs, perp_th=4.0, angle_th_deg=5.0):
+    """Fraction of the GT segment covered by aligned detections
+    (detectors legitimately fragment lines at crossings, like real LSD)."""
+    p1, p2 = gt_line[:2], gt_line[2:4]
+    d = p2 - p1
+    L = np.linalg.norm(d)
+    d = d / L
+    covered = np.zeros(100, bool)
+    for s in segs:
+        sd = s[2:4] - s[:2]
+        sl = np.linalg.norm(sd)
+        if sl < 1:
+            continue
+        sd = sd / sl
+        ang = np.degrees(np.arccos(min(abs(sd @ d), 1.0)))
+        if ang > angle_th_deg:
+            continue
+        perp = max(abs(d[0] * (s[1] - p1[1]) - d[1] * (s[0] - p1[0])),
+                   abs(d[0] * (s[3] - p1[1]) - d[1] * (s[2] - p1[0])))
+        if perp > perp_th:
+            continue
+        t1 = (s[:2] - p1) @ d / L
+        t2 = (s[2:4] - p1) @ d / L
+        lo, hi = sorted((t1, t2))
+        lo = max(int(np.floor(lo * 100)), 0)
+        hi = min(int(np.ceil(hi * 100)), 100)
+        covered[lo:hi] = True
+    return covered.mean()
+
+
+def test_tpu_lsd_detects_synthetic_lines(rng):
+    img, gt = draw_synthetic_image(rng)
+    segs = detect_segments(img, grad_th=0.05)
+    assert len(segs) >= len(gt)
+    coverages = [gt_coverage(g, segs) for g in gt]
+    assert sum(c > 0.6 for c in coverages) >= len(gt) - 1, coverages
+
+
+def test_endpoint_matcher_on_shifted_image(rng):
+    """Same lines, image shifted by a few pixels: matcher should recover
+    the identity correspondence."""
+    import cv2
+    img, gt = draw_synthetic_image(rng, n_lines=8)
+    shift = np.float32([[1, 0, 3.0], [0, 1, 2.0]])
+    img2 = cv2.warpAffine(img, shift, (img.shape[1], img.shape[0]),
+                          borderValue=220)
+    segs1 = np.concatenate(
+        [gt, np.ones((len(gt), 1))], axis=1)
+    gt2 = gt.copy()
+    gt2[:, [0, 2]] += 3.0
+    gt2[:, [1, 3]] += 2.0
+    segs2 = np.concatenate([gt2, np.ones((len(gt), 1))], axis=1)
+
+    ext = PatchEndpointsExtractor()
+    d1 = ext.compute_descinfo(img, segs1)
+    d2 = ext.compute_descinfo(img2, segs2)
+    matcher = NNEndpointsMatcher(ext, {"topk": 0})
+    matches = matcher.match_pair(d1, d2)
+    assert len(matches) >= len(gt) * 0.7
+    correct = (matches[:, 0] == matches[:, 1]).mean()
+    assert correct > 0.8
+
+
+def test_topk_matching_contains_truth(rng):
+    img, gt = draw_synthetic_image(rng, n_lines=8)
+    segs = np.concatenate([gt, np.ones((len(gt), 1))], axis=1)
+    ext = PatchEndpointsExtractor()
+    d = ext.compute_descinfo(img, segs)
+    matcher = NNEndpointsMatcher(ext, {"topk": 3})
+    matches = matcher.match_pair(d, d)
+    for i in range(len(gt)):
+        assert [i, i] in matches.tolist()
