@@ -40,11 +40,15 @@ def _sample_patch_descriptors(img: jnp.ndarray, endpoints: jnp.ndarray,
     H, W = img.shape
     g = jnp.linspace(-(PATCH - 1) / 2, (PATCH - 1) / 2, PATCH) * PATCH_SPACING
     gy, gx = jnp.meshgrid(g, g, indexing="ij")
-    # rotate grid into the line frame
+    # rotate grid into the line frame; shift the center inward along the
+    # segment so most samples lie on line support rather than background
     dx, dy = directions[:, 0], directions[:, 1]
-    px = (endpoints[:, 0, None, None] + gx[None] * dx[:, None, None]
+    inset = PATCH * PATCH_SPACING / 4.0
+    cx = endpoints[:, 0] + dx * inset
+    cy = endpoints[:, 1] + dy * inset
+    px = (cx[:, None, None] + gx[None] * dx[:, None, None]
           - gy[None] * dy[:, None, None])
-    py = (endpoints[:, 1, None, None] + gx[None] * dy[:, None, None]
+    py = (cy[:, None, None] + gx[None] * dy[:, None, None]
           + gy[None] * dx[:, None, None])
 
     # bilinear sample
@@ -59,8 +63,16 @@ def _sample_patch_descriptors(img: jnp.ndarray, endpoints: jnp.ndarray,
     vals = (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
             + v10 * (1 - fx) * fy + v11 * fx * fy)  # [N, P, P]
 
-    desc = vals.reshape(vals.shape[0], -1)
-    desc = desc - jnp.mean(desc, axis=1, keepdims=True)
+    flat = vals.reshape(vals.shape[0], -1)
+    mean = jnp.mean(flat, axis=1, keepdims=True)
+    centered = flat - mean
+    std = jnp.sqrt(jnp.mean(centered * centered, axis=1, keepdims=True))
+    normed = centered / (jnp.linalg.norm(centered, axis=1, keepdims=True)
+                         + 1e-8)
+    # keep absolute photometric statistics as extra channels — a purely
+    # contrast-normalized patch cannot distinguish identical strokes of
+    # different brightness
+    desc = jnp.concatenate([normed, 4.0 * mean, 4.0 * std], axis=1)
     return desc / (jnp.linalg.norm(desc, axis=1, keepdims=True) + 1e-8)
 
 

@@ -1,0 +1,155 @@
+"""RGB-only line triangulation pipeline (the flagship runner).
+
+Mirrors /root/reference/src/limap/runners/line_triangulation.py:18-271:
+[A] metainfos -> [B] detection+description -> [C] matching ->
+[D] multi-view triangulation -> filters/remerge -> [E] BA -> [F] save.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+import limap_tpu.runners.functions as runners
+from limap_tpu.base.line_linker import LineLinker3dConfig
+from limap_tpu.base.linetrack import LineTrack, batch_to_tracks, \
+    tracks_to_batch
+from limap_tpu.merging import (filter_tracks_by_overlap,
+                               filter_tracks_by_reprojection,
+                               filter_tracks_by_sensitivity, remerge)
+from limap_tpu.optimize import (LineBAConfig, get_output_tracks,
+                                solve_line_bundle_adjustment)
+from limap_tpu.triangulation.triangulator import (GlobalLineTriangulator,
+                                                  TriangulatorConfig)
+from limap_tpu.util import io as limapio
+
+DEFAULT_VAR2D = {"lsd": 2.0, "tpu_lsd": 2.0, "sold2": 5.0, "hawpv3": 5.0,
+                 "tp_lsd": 5.0, "deeplsd": 4.0}
+
+
+def line_triangulation(cfg: dict, imagecols, neighbors: Optional[dict] = None,
+                       ranges=None, points3d: Optional[dict] = None
+                       ) -> List[LineTrack]:
+    """Main interface of multi-view line triangulation."""
+    cfg = runners.setup(cfg)
+    detector = cfg["line2d"]["detector"]["method"]
+    if cfg["triangulation"].get("var2d", -1) == -1:
+        cfg["triangulation"]["var2d"] = DEFAULT_VAR2D.get(detector, 2.0)
+    if not imagecols.IsUndistorted():
+        imagecols = runners.undistort_images(
+            imagecols,
+            os.path.join(cfg["dir_save"],
+                         cfg.get("undistortion_output_dir",
+                                 "undistorted_images")),
+            skip_exists=cfg.get("load_undistort", False)
+            or cfg.get("skip_exists", False))
+    if cfg.get("max_image_dim", -1) not in (-1, None):
+        imagecols.set_max_image_dim(cfg["max_image_dim"])
+    limapio.save_npy(os.path.join(cfg["dir_save"], "imagecols.npy"),
+                     imagecols.as_dict())
+
+    # [A] metainfos
+    if neighbors is None:
+        _, neighbors, ranges = runners.compute_sfminfos(cfg, imagecols,
+                                                        points3d)
+    else:
+        neighbors = imagecols.update_neighbors(neighbors)
+        for img_id in neighbors:
+            neighbors[img_id] = neighbors[img_id][:cfg["n_neighbors"]]
+        limapio.save_txt_metainfos(
+            os.path.join(cfg["dir_save"], "metainfos.txt"), neighbors,
+            ranges if ranges is not None
+            else runners.compute_pose_ranges(imagecols))
+
+    # [B] 2D segments (+ descriptors unless exhaustive matching)
+    use_exhaustive = cfg["triangulation"].get("use_exhaustive_matcher", False)
+    all_2d_segs, descinfo_folder = runners.compute_2d_segs(
+        cfg, imagecols, compute_descinfo=not use_exhaustive)
+
+    # [C] matches
+    if not use_exhaustive:
+        matches_dir = runners.compute_matches(
+            cfg, descinfo_folder, imagecols.get_img_ids(), neighbors)
+
+    # [D] triangulation
+    tri_cfg = TriangulatorConfig.from_dict(cfg["triangulation"])
+    triangulator = GlobalLineTriangulator(tri_cfg)
+    triangulator.init(all_2d_segs, imagecols)
+    triangulator.set_ranges(ranges)
+    if cfg["triangulation"].get("use_vp", False):
+        from limap_tpu.vplib import get_vp_detector
+        vpdet = get_vp_detector(cfg["triangulation"].get(
+            "vpdet_config", {"method": "jlinkage"}))
+        vpresults = vpdet.detect_vp_all_images(
+            all_2d_segs, imagecols.get_map_camviews())
+        triangulator.init_vp_results(vpresults)
+
+    for img_id in imagecols.get_img_ids():
+        if use_exhaustive:
+            triangulator.triangulate_image_exhaustive(img_id,
+                                                      neighbors[img_id])
+        else:
+            matches = np.load(
+                os.path.join(matches_dir, f"matches_{img_id}.npy"),
+                allow_pickle=True).item()
+            triangulator.triangulate_image(img_id, matches)
+    linetracks = triangulator.compute_line_tracks()
+
+    # filters (line_triangulation.py:171-200)
+    id2row = imagecols.img_id_to_index()
+    views = imagecols.batch()
+    f2d = cfg["triangulation"]["filtering2d"]
+
+    def filter_reproj(tracks):
+        if not tracks:
+            return tracks
+        tb = tracks_to_batch(tracks, id2row)
+        tb = filter_tracks_by_reprojection(
+            tb, views, f2d["th_angular_2d"], f2d["th_perp_2d"])
+        return [t for t in batch_to_tracks(tb) if t.count_lines() > 0]
+
+    linetracks = filter_reproj(linetracks)
+    if not cfg["triangulation"]["remerging"].get("disable", False) \
+            and linetracks:
+        linker3d = LineLinker3dConfig.from_dict(
+            cfg["triangulation"]["remerging"].get("linker3d"))
+        linetracks = remerge(linetracks, views, id2row, linker3d)
+        linetracks = filter_reproj(linetracks)
+    if linetracks:
+        tb = tracks_to_batch(linetracks, id2row)
+        tb = filter_tracks_by_sensitivity(
+            tb, views, f2d["th_sv_angular_3d"], f2d["th_sv_num_supports"])
+        tb = filter_tracks_by_overlap(
+            tb, views, f2d["th_overlap"], f2d["th_overlap_num_supports"])
+        linetracks = batch_to_tracks(tb._replace(
+            mask=tb.mask & tb.track_mask[:, None]))
+        linetracks = [t for t in linetracks if t.count_lines() > 0]
+
+    # [E] geometric refinement
+    if not cfg["refinement"].get("disable", False) and linetracks:
+        tb = tracks_to_batch(linetracks, id2row)
+        ba_cfg = LineBAConfig.from_dict(cfg["refinement"])
+        refined, _ = solve_line_bundle_adjustment(tb, views, ba_cfg)
+        tb = get_output_tracks(tb, views, refined,
+                               ba_cfg.num_outliers_aggregator)
+        linetracks = batch_to_tracks(tb)
+
+    # [F] save
+    limapio.save_txt_linetracks(
+        os.path.join(cfg["dir_save"], "alltracks.txt"), linetracks,
+        n_visible_views=4)
+    limapio.save_folder_linetracks_with_info(
+        os.path.join(cfg["dir_save"], cfg.get("output_folder",
+                                              "finaltracks")),
+        linetracks, config=cfg, imagecols=imagecols,
+        all_2d_segs=all_2d_segs)
+    valid = [t.line for t in linetracks
+             if t.count_images() >= cfg["n_visible_views"]]
+    limapio.save_obj(
+        os.path.join(
+            cfg["dir_save"],
+            f"triangulated_lines_nv{cfg['n_visible_views']}.obj"),
+        np.stack(valid) if valid else np.zeros((0, 2, 3)))
+    return linetracks

@@ -1,0 +1,166 @@
+"""End-to-end pipeline tests on a fully synthetic rendered scene:
+images rendered with cv2 + analytic GT depth -> detection -> (fitnmerge |
+triangulation) -> tracks close to the GT 3D lines.
+
+This is the engine's equivalent of the reference's CI gate ("full
+pipelines on the quickstart Hypersim scene", SURVEY.md §4.3) at toy
+scale.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from limap_tpu.base.camera import Camera, CameraPose
+from limap_tpu.base.depth_reader_base import ArrayDepthReader
+from limap_tpu.base.image_collection import CameraImage, ImageCollection
+from limap_tpu.util.config import load_config
+
+H, W = 480, 640
+WALL_Z = 10.0
+
+
+def make_scene(rng, tmp_path, n_views=5, n_lines=5):
+    """Lines on the z=WALL_Z plane viewed by slightly offset cameras."""
+    import cv2
+    K = np.array([[600.0, 0, W / 2], [0, 600.0, H / 2], [0, 0, 1]])
+    cams = {0: Camera(K=K, hw=(H, W), cam_id=0)}
+
+    # GT lines on the wall: parallel diagonals, well separated (no
+    # crossings).  Diagonal so that triangulation stays non-degenerate
+    # for a mostly-horizontal camera baseline (a horizontal line with a
+    # horizontal baseline is epipolar-degenerate for any method).
+    gt = []
+    slope = 0.6
+    for i in range(n_lines):
+        y = -3.4 + 6.0 * i / max(n_lines - 1, 1)
+        x1 = rng.uniform(-4.5, -3.0)
+        x2 = rng.uniform(1.5, 3.0)
+        gt.append([[x1, y, WALL_Z],
+                   [x2, y + slope * (x2 - x1) * 0.5, WALL_Z]])
+    gt = np.asarray(gt)
+
+    images = {}
+    depths = {}
+    for k in range(n_views):
+        aa = rng.normal(size=3) * 0.02
+        R = Rotation.from_rotvec(aa).as_matrix()
+        # wide baseline with both x and y components: no line orientation
+        # is epipolar-degenerate and triangulated depth noise stays
+        # within the linker's uncertainty model
+        C = np.array([1.2 * (k - n_views / 2),
+                      1.0 * ((k % 2) - 0.5) + 0.2 * k, 0.3 * k])
+        t = -R @ C
+        pose = CameraPose(R=R, tvec=t)
+
+        img = np.full((H, W), 230, np.uint8)
+        for li, line in enumerate(gt):
+            p1 = K @ (R @ line[0] + t)
+            p2 = K @ (R @ line[1] + t)
+            p1 = (p1[:2] / p1[2]).astype(int)
+            p2 = (p2[:2] / p2[2]).astype(int)
+            # distinct intensities so appearance descriptors can tell
+            # the (otherwise identical) lines apart
+            cv2.line(img, tuple(p1), tuple(p2), 20 + 28 * li, 2)
+        img = np.clip(img.astype(np.float64)
+                      + rng.normal(size=(H, W)) * 2, 0, 255).astype(np.uint8)
+        imname = os.path.join(str(tmp_path), f"img_{k}.png")
+        cv2.imwrite(imname, img)
+        images[k] = CameraImage(0, pose, imname)
+
+        # analytic depth of the wall plane per pixel
+        us, vs = np.meshgrid(np.arange(W), np.arange(H))
+        rays_cam = np.linalg.inv(K) @ np.stack(
+            [us.ravel(), vs.ravel(), np.ones(H * W)])
+        rays_w = R.T @ rays_cam
+        tt = (WALL_Z - C[2]) / rays_w[2]
+        pts = C[:, None] + rays_w * tt
+        depth = (R @ pts + t[:, None])[2].reshape(H, W)
+        depths[k] = ArrayDepthReader(depth.astype(np.float32))
+
+    return ImageCollection(cams, images), gt, depths
+
+
+def track_to_gt_error(track, gt):
+    """Endpoint-to-endpoint distance to the closest GT segment."""
+    best = 1e9
+    for line in gt:
+        s, e = line
+        d1 = (np.linalg.norm(track.line[0] - s)
+              + np.linalg.norm(track.line[1] - e))
+        d2 = (np.linalg.norm(track.line[0] - e)
+              + np.linalg.norm(track.line[1] - s))
+        best = min(best, d1, d2)
+    return best
+
+
+def track_to_gt_line_error(track, gt):
+    """Max perpendicular distance of the track endpoints to the closest
+    GT infinite line (endpoint extents legitimately differ when lines
+    clip at image borders)."""
+    best = 1e9
+    for line in gt:
+        s, e = np.asarray(line[0]), np.asarray(line[1])
+        d = (e - s) / np.linalg.norm(e - s)
+
+        def perp(p):
+            disp = p - s
+            return np.linalg.norm(disp - (disp @ d) * d)
+
+        best = min(best, max(perp(track.line[0]), perp(track.line[1])))
+    return best
+
+
+@pytest.fixture()
+def cfg_dir():
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "cfgs")
+
+
+def test_fitnmerge_e2e(rng, tmp_path, cfg_dir):
+    from limap_tpu.runners import line_fitnmerge
+    imagecols, gt, depths = make_scene(rng, tmp_path)
+    cfg = load_config(os.path.join(cfg_dir, "fitnmerge", "default.yaml"))
+    cfg["output_dir"] = str(tmp_path / "out")
+    cfg["max_image_dim"] = -1
+    cfg["n_visible_views"] = 3
+    tracks = line_fitnmerge(cfg, imagecols, depths)
+    good = [t for t in tracks if t.count_images() >= 3]
+    assert len(good) >= len(gt) - 1
+    errs = sorted(track_to_gt_error(t, gt) for t in good)
+    # endpoints within ~2% of wall distance for the best tracks
+    assert np.median(errs[:len(gt)]) < 0.5
+
+    # saved artifacts round-trip
+    from limap_tpu.util import io as limapio
+    folder = os.path.join(cfg["output_dir"], "fitnmerge_finaltracks")
+    loaded, lcfg, licols, lsegs = \
+        limapio.read_folder_linetracks_with_info(folder)
+    assert len(loaded) == len(tracks)
+    assert licols.NumImages() == imagecols.NumImages()
+
+
+def test_triangulation_e2e(rng, tmp_path, cfg_dir):
+    from limap_tpu.runners import line_triangulation
+    imagecols, gt, depths = make_scene(rng, tmp_path)
+    cfg = load_config(os.path.join(cfg_dir, "triangulation", "default.yaml"))
+    cfg["output_dir"] = str(tmp_path / "out_tri")
+    cfg["max_image_dim"] = -1
+    cfg["n_visible_views"] = 3
+    cfg["n_neighbors"] = 4
+    cfg["triangulation"]["filtering2d"]["th_sv_num_supports"] = 2
+    cfg["triangulation"]["filtering2d"]["th_overlap_num_supports"] = 2
+    # toy scale: only 4 neighbors, so the support-sum threshold of the
+    # 100-image default is too strict
+    cfg["triangulation"]["fullscore_th"] = 0.5
+    # mirror the reference's CI, which exercises triangulation with the
+    # exhaustive matcher (.github/workflows/build.yml:104-114)
+    cfg["triangulation"]["use_exhaustive_matcher"] = True
+    cfg["refinement"]["min_num_images"] = 3
+    tracks = line_triangulation(cfg, imagecols)
+    good = [t for t in tracks if t.count_images() >= 3]
+    assert len(good) >= len(gt) - 1
+    errs = sorted(track_to_gt_line_error(t, gt) for t in good)
+    assert np.median(errs[:len(gt)]) < 0.15
