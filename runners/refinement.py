@@ -1,0 +1,43 @@
+"""Refine a saved line map (reference: runners/refinement.py)."""
+
+import argparse
+import os
+import sys
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from limap_tpu.optimize import line_refinement
+from limap_tpu.util import io as limapio
+from limap_tpu.util.config import load_config, update_config
+
+
+def main():
+    parser = argparse.ArgumentParser(description="refine saved line tracks")
+    parser.add_argument("-i", "--input_folder", type=str, required=True,
+                        help="finaltracks folder")
+    parser.add_argument("-o", "--output_folder", type=str,
+                        default="refined_tracks")
+    parser.add_argument("--use_vp", action="store_true")
+    args, unknown = parser.parse_known_args()
+
+    tracks, cfg, imagecols, all_2d_segs = \
+        limapio.read_folder_linetracks_with_info(args.input_folder)
+    refinement_cfg = (cfg or {}).get("refinement", {})
+    refinement_cfg["use_vp"] = args.use_vp
+
+    vpresults = None
+    if args.use_vp and all_2d_segs is not None:
+        from limap_tpu.vplib import get_vp_detector
+        vpresults = get_vp_detector({"method": "jlinkage"}) \
+            .detect_vp_all_images(all_2d_segs)
+
+    new_tracks = line_refinement(refinement_cfg, tracks, imagecols,
+                                 vpresults=vpresults)
+    limapio.save_folder_linetracks_with_info(
+        args.output_folder, new_tracks, config=cfg, imagecols=imagecols,
+        all_2d_segs=all_2d_segs)
+    print(f"refined {len(new_tracks)} tracks -> {args.output_folder}")
+
+
+if __name__ == "__main__":
+    main()
