@@ -75,6 +75,34 @@ def unpack_minimal_lines(params: jnp.ndarray) -> MinimalInfiniteLines3d:
     return MinimalInfiniteLines3d(uvec=params[..., :4], wvec=params[..., 4:6])
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _build_ba_residual(cfg: LineBAConfig):
+    """Residual closure per config — cached so repeated BA calls with
+    the same config reuse one jitted LM program (function identity keys
+    the jit cache inside lm_solve)."""
+
+    def residual_one(params, kvec, qvec, tvec, p_start, p_end, w, valid):
+        """One track: supports [S, ...] -> flattened residuals [2S]."""
+        line = unpack_minimal_lines(params)
+        vb = CameraViewsBatch(kvec, qvec, tvec)
+        r = res.line_geometric_residual(
+            line.uvec[None], line.wvec[None], vb,
+            Segments(p_start, p_end), cfg.geometric_alpha)  # [S, 2]
+        # padded supports carry arbitrary cameras/segments — zero them
+        # BEFORE robust weighting so they cannot pollute the cost.
+        r = jnp.where(valid[:, None], r, 0.0)
+        r2 = jax.lax.stop_gradient(jnp.sum(r * r, axis=-1))
+        rw = robust_weight(r2, cfg.loss, cfg.loss_scale)
+        scale = jnp.sqrt(w * rw + 1e-12)[:, None]
+        r = jnp.where((w > 0)[:, None], r * scale, 0.0)
+        return r.reshape(-1)
+
+    return residual_one
+
+
 def solve_line_bundle_adjustment(
         batch: TrackBatch, views: CameraViewsBatch,
         cfg: LineBAConfig = LineBAConfig(),
@@ -97,22 +125,7 @@ def solve_line_bundle_adjustment(
     free = (n_img >= cfg.min_num_images) & batch.track_mask
     weights = weights * free[:, None]
 
-    def residual_one(params, kvec, qvec, tvec, p_start, p_end, w, valid):
-        """One track: supports [S, ...] -> flattened residuals [2S]."""
-        line = unpack_minimal_lines(params)
-        vb = CameraViewsBatch(kvec, qvec, tvec)
-        r = res.line_geometric_residual(
-            line.uvec[None], line.wvec[None], vb,
-            Segments(p_start, p_end), cfg.geometric_alpha)  # [S, 2]
-        # padded supports carry arbitrary cameras/segments — zero them
-        # BEFORE robust weighting so they cannot pollute the cost.
-        r = jnp.where(valid[:, None], r, 0.0)
-        r2 = jax.lax.stop_gradient(jnp.sum(r * r, axis=-1))
-        rw = robust_weight(r2, cfg.loss, cfg.loss_scale)
-        scale = jnp.sqrt(w * rw + 1e-12)[:, None]
-        r = jnp.where((w > 0)[:, None], r * scale, 0.0)
-        return r.reshape(-1)
-
+    residual_one = _build_ba_residual(cfg)
     aux = (sup_views.kvec, sup_views.qvec, sup_views.tvec,
            batch.line2d.start, batch.line2d.end, weights, batch.mask)
     result = lm_solve(params0, residual_one, retract_quat_so2, 4, aux,
