@@ -65,8 +65,14 @@ class PointCloudEvaluator:
 
     def ComputeDistsLine(self, seg: Segments,
                          n_samples: int = DEFAULT_N_SAMPLES) -> jnp.ndarray:
-        """[N, n_samples] sample distances for a batch of lines."""
+        """[N, n_samples] sample distances for a batch of lines.
+
+        Uses the fused Pallas NN kernel on TPU; the XLA scan fallback
+        elsewhere."""
         samples = sample_points_on_segments(seg, n_samples)
+        if jax.devices()[0].platform in ("tpu", "axon"):
+            from limap_tpu.ops.pallas.nn_distance import min_dist_to_points
+            return min_dist_to_points(samples, self.points)
         return _min_dist_to_points(samples, self.points)
 
     def ComputeInlierRatio(self, seg: Segments, threshold: float,
