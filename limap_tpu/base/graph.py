@@ -11,7 +11,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from limap_tpu.ops.connected_components import union_find_numpy
+from limap_tpu.ops.hostops import union_find as union_find_numpy
 
 
 class PatchNode:

@@ -1,0 +1,176 @@
+// Native host-side ops for the limap_tpu runtime.
+//
+// The TPU kernels leave a few serial host-side steps between dispatches:
+// union-find over edge lists when the scene is too small to amortize a
+// device round-trip, and group-by-label when assembling track support
+// lists.  These run orders of magnitude faster in C++ than in Python
+// loops (the reference keeps them in C++ too: base/graph.cc,
+// merging/merging.cc).  Built as a plain CPython extension (no pybind11
+// in this image); see build.py.
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#define NPY_NO_DEPRECATED_API NPY_1_7_API_VERSION
+#include <numpy/arrayobject.h>
+
+#include <algorithm>
+#include <cstdint>
+#include <vector>
+
+namespace {
+
+int64_t find_root(std::vector<int64_t>& parent, int64_t x) {
+  int64_t root = x;
+  while (parent[root] != root) root = parent[root];
+  // path compression
+  while (parent[x] != root) {
+    int64_t next = parent[x];
+    parent[x] = root;
+    x = next;
+  }
+  return root;
+}
+
+// union_find(n, edges[int64 E x 2]) -> labels[int64 n] (min-root ids)
+PyObject* union_find(PyObject*, PyObject* args) {
+  Py_ssize_t n = 0;
+  PyObject* edges_obj = nullptr;
+  if (!PyArg_ParseTuple(args, "nO", &n, &edges_obj)) return nullptr;
+
+  PyArrayObject* edges = (PyArrayObject*)PyArray_FROM_OTF(
+      edges_obj, NPY_INT64, NPY_ARRAY_IN_ARRAY);
+  if (!edges) return nullptr;
+  if (PyArray_NDIM(edges) != 2 || PyArray_DIM(edges, 1) != 2) {
+    Py_DECREF(edges);
+    PyErr_SetString(PyExc_ValueError, "edges must be (E, 2)");
+    return nullptr;
+  }
+  const npy_intp E = PyArray_DIM(edges, 0);
+  const int64_t* e = (const int64_t*)PyArray_DATA(edges);
+
+  std::vector<int64_t> parent((size_t)n);
+  for (Py_ssize_t i = 0; i < n; ++i) parent[(size_t)i] = i;
+  for (npy_intp i = 0; i < E; ++i) {
+    int64_t a = e[2 * i], b = e[2 * i + 1];
+    if (a < 0 || a >= n || b < 0 || b >= n) continue;
+    int64_t ra = find_root(parent, a), rb = find_root(parent, b);
+    if (ra != rb) parent[ra > rb ? ra : rb] = ra < rb ? ra : rb;
+  }
+
+  npy_intp dims[1] = {(npy_intp)n};
+  PyArrayObject* out = (PyArrayObject*)PyArray_SimpleNew(1, dims, NPY_INT64);
+  int64_t* o = (int64_t*)PyArray_DATA(out);
+  for (Py_ssize_t i = 0; i < n; ++i) o[i] = find_root(parent, (int64_t)i);
+
+  Py_DECREF(edges);
+  return (PyObject*)out;
+}
+
+// group_by_labels(labels[int64 n], valid[bool n])
+//   -> (sorted_ids[int64], offsets[int64 G+1])
+// Groups valid nodes by label; groups ordered by ascending label.
+PyObject* group_by_labels(PyObject*, PyObject* args) {
+  PyObject *labels_obj = nullptr, *valid_obj = nullptr;
+  if (!PyArg_ParseTuple(args, "OO", &labels_obj, &valid_obj)) return nullptr;
+
+  PyArrayObject* labels = (PyArrayObject*)PyArray_FROM_OTF(
+      labels_obj, NPY_INT64, NPY_ARRAY_IN_ARRAY);
+  PyArrayObject* valid = (PyArrayObject*)PyArray_FROM_OTF(
+      valid_obj, NPY_BOOL, NPY_ARRAY_IN_ARRAY);
+  if (!labels || !valid) {
+    Py_XDECREF(labels);
+    Py_XDECREF(valid);
+    return nullptr;
+  }
+  const npy_intp n = PyArray_DIM(labels, 0);
+  const int64_t* lab = (const int64_t*)PyArray_DATA(labels);
+  const npy_bool* val = (const npy_bool*)PyArray_DATA(valid);
+
+  // counting sort by label
+  std::vector<std::pair<int64_t, int64_t>> items;
+  items.reserve((size_t)n);
+  for (npy_intp i = 0; i < n; ++i)
+    if (val[i]) items.emplace_back(lab[i], (int64_t)i);
+  std::stable_sort(items.begin(), items.end());
+
+  std::vector<int64_t> offsets;
+  offsets.push_back(0);
+  for (size_t i = 1; i <= items.size(); ++i) {
+    if (i == items.size() || items[i].first != items[i - 1].first)
+      offsets.push_back((int64_t)i);
+  }
+
+  npy_intp d1[1] = {(npy_intp)items.size()};
+  PyArrayObject* ids = (PyArrayObject*)PyArray_SimpleNew(1, d1, NPY_INT64);
+  int64_t* idp = (int64_t*)PyArray_DATA(ids);
+  for (size_t i = 0; i < items.size(); ++i) idp[i] = items[i].second;
+
+  npy_intp d2[1] = {(npy_intp)offsets.size()};
+  PyArrayObject* offs = (PyArrayObject*)PyArray_SimpleNew(1, d2, NPY_INT64);
+  int64_t* op = (int64_t*)PyArray_DATA(offs);
+  for (size_t i = 0; i < offsets.size(); ++i) op[i] = offsets[i];
+
+  Py_DECREF(labels);
+  Py_DECREF(valid);
+  return PyTuple_Pack(2, (PyObject*)ids, (PyObject*)offs);
+}
+
+// pack_supports(group_ids, offsets, S) -> (index[int64 G x S], mask[bool G x S])
+// Pads each group's node ids into fixed [G, S] slots (TrackBatch layout).
+PyObject* pack_supports(PyObject*, PyObject* args) {
+  PyObject *ids_obj = nullptr, *offs_obj = nullptr;
+  Py_ssize_t S = 0;
+  if (!PyArg_ParseTuple(args, "OOn", &ids_obj, &offs_obj, &S))
+    return nullptr;
+  PyArrayObject* ids = (PyArrayObject*)PyArray_FROM_OTF(
+      ids_obj, NPY_INT64, NPY_ARRAY_IN_ARRAY);
+  PyArrayObject* offs = (PyArrayObject*)PyArray_FROM_OTF(
+      offs_obj, NPY_INT64, NPY_ARRAY_IN_ARRAY);
+  if (!ids || !offs) {
+    Py_XDECREF(ids);
+    Py_XDECREF(offs);
+    return nullptr;
+  }
+  const int64_t* idp = (const int64_t*)PyArray_DATA(ids);
+  const int64_t* op = (const int64_t*)PyArray_DATA(offs);
+  const npy_intp G = PyArray_DIM(offs, 0) - 1;
+
+  npy_intp dims[2] = {G, (npy_intp)S};
+  PyArrayObject* index =
+      (PyArrayObject*)PyArray_ZEROS(2, dims, NPY_INT64, 0);
+  PyArrayObject* mask = (PyArrayObject*)PyArray_ZEROS(2, dims, NPY_BOOL, 0);
+  int64_t* xp = (int64_t*)PyArray_DATA(index);
+  npy_bool* mp = (npy_bool*)PyArray_DATA(mask);
+  for (npy_intp g = 0; g < G; ++g) {
+    int64_t start = op[g], end = op[g + 1];
+    int64_t cnt = end - start;
+    if (cnt > S) cnt = S;
+    for (int64_t k = 0; k < cnt; ++k) {
+      xp[g * S + k] = idp[start + k];
+      mp[g * S + k] = NPY_TRUE;
+    }
+  }
+  Py_DECREF(ids);
+  Py_DECREF(offs);
+  return PyTuple_Pack(2, (PyObject*)index, (PyObject*)mask);
+}
+
+PyMethodDef methods[] = {
+    {"union_find", union_find, METH_VARARGS,
+     "union_find(n, edges) -> root labels"},
+    {"group_by_labels", group_by_labels, METH_VARARGS,
+     "group_by_labels(labels, valid) -> (sorted_ids, offsets)"},
+    {"pack_supports", pack_supports, METH_VARARGS,
+     "pack_supports(ids, offsets, S) -> (index, mask)"},
+    {nullptr, nullptr, 0, nullptr}};
+
+struct PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "_hostops",
+                                "limap_tpu native host ops", -1, methods};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__hostops(void) {
+  import_array();
+  return PyModule_Create(&moduledef);
+}

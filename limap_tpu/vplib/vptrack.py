@@ -8,7 +8,7 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-from limap_tpu.ops.connected_components import union_find_numpy
+from limap_tpu.ops.hostops import union_find as union_find_numpy
 from limap_tpu.vplib.jlinkage import VPResult
 
 
