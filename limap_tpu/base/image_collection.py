@@ -199,6 +199,31 @@ class ImageCollection:
                 im.cam_id, CameraPose(R=new_R, tvec=new_t), im.image_name)
         return out
 
+    def get_first_image_id_by_camera_id(self, cam_id: int) -> int:
+        for img_id in self.get_img_ids():
+            if self.images[img_id].cam_id == cam_id:
+                return img_id
+        return -1
+
+    def init_uninitialized_cameras(self) -> None:
+        for cam in self.cameras.values():
+            if cam.w() <= 0 or cam.h() <= 0:
+                continue
+            if np.all(cam.params == 0):
+                f = 1.2 * max(cam.w(), cam.h())
+                cam.params[list(cam.focal_idxs())] = f
+                pi = cam.pp_idxs()
+                cam.params[pi[0]] = cam.w() / 2.0
+                cam.params[pi[1]] = cam.h() / 2.0
+
+    def uninitialize_poses(self) -> None:
+        for im in self.images.values():
+            im.pose = CameraPose(initialized=False)
+
+    def uninitialize_intrinsics(self) -> None:
+        for cam in self.cameras.values():
+            cam.params[:] = 0.0
+
     # ---- checks ----
     def IsUndistorted(self) -> bool:
         return all(cam.is_undistorted() for cam in self.cameras.values())

@@ -149,3 +149,35 @@ def estimate_segs3d_from_depth(segs2d: Segments, depth: jnp.ndarray,
     return fit_lines_ransac(points, valid, inlier_th, key,
                             n_hypotheses=n_hypotheses,
                             min_inlier_ratio=min_percentage_inliers)
+
+
+def estimate_segs3d_from_points3d(segs2d: Segments, p3d_map: jnp.ndarray,
+                                  view: CameraViewsBatch, key: jax.Array,
+                                  img_hw, ransac_th: float = 0.75,
+                                  min_percentage_inliers: float = 0.6,
+                                  var2d: float = 5.0,
+                                  n_samples: int = 64,
+                                  n_hypotheses: int = 32) -> Segments:
+    """Point-cloud variant (reference fitting.py:56-102, InLoc-style):
+    instead of a depth map, a dense per-pixel 3D point map [H, W, 3]
+    (NaN/0 = invalid) supplies candidate points along each segment."""
+    H, W = img_hw
+    t = jnp.linspace(0.0, 1.0, n_samples)
+    pts = (segs2d.start[:, None, :]
+           + t[None, :, None] * (segs2d.end - segs2d.start)[:, None, :])
+    xi = jnp.clip(jnp.round(pts[..., 0]).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.round(pts[..., 1]).astype(jnp.int32), 0, H - 1)
+    inside = ((pts[..., 0] >= 0) & (pts[..., 1] >= 0)
+              & (pts[..., 0] < W) & (pts[..., 1] < H))
+    points = p3d_map[yi, xi]
+    finite = jnp.all(jnp.isfinite(points), -1) \
+        & (jnp.sum(jnp.abs(points), -1) > 0)
+    valid = inside & finite
+    # threshold scaled by median ray depth (fitting.py:100-101)
+    ray_depth = jnp.linalg.norm(points - view.center(), axis=-1)
+    med = jnp.nanmedian(jnp.where(valid, ray_depth, jnp.nan), axis=-1)
+    med = jnp.nan_to_num(med, nan=1.0)
+    inlier_th = ransac_th * (var2d * med / (0.7 * max(H, W)))
+    return fit_lines_ransac(points, valid, inlier_th, key,
+                            n_hypotheses=n_hypotheses,
+                            min_inlier_ratio=min_percentage_inliers)

@@ -103,6 +103,13 @@ class BaseDetector:
             if skip_exists and limapio.exists_txt_segments(seg_folder, img_id):
                 continue
             segs = self.detect(imagecols.camview(img_id))
+            if self.do_merge_lines and len(segs):
+                from limap_tpu.line2d.line_utils import merge_lines
+                merged = merge_lines(segs)
+                lengths = np.linalg.norm(merged[:, 2:4] - merged[:, :2],
+                                         axis=1)
+                segs = np.concatenate(
+                    [merged, np.sqrt(lengths)[:, None]], axis=1)
             segs, _ = self.take_longest_k(segs, self.max_num_2d_segs)
             limapio.save_txt_segments(seg_folder, img_id, segs)
         all_segs = limapio.read_all_segments_from_folder(seg_folder)

@@ -162,3 +162,38 @@ class NNEndpointsMatcher(BaseMatcher):
         j = idx.reshape(-1)
         good = scores[i, j] >= self.min_score
         return np.stack([i[good], j[good]], axis=1)
+
+
+@register_matcher("superglue_endpoints")
+class SinkhornEndpointsMatcher(NNEndpointsMatcher):
+    """OT-based line matching on endpoint scores: the same selection
+    scheme as the reference's superglue_endpoints matcher
+    (matcher.py:114-253), with the log-domain Sinkhorn solver from
+    limap_tpu.point2d.matching in place of the learned GNN (whose
+    weights require network access)."""
+
+    def __init__(self, extractor, options=None):
+        super().__init__(extractor, options)
+        options = options or {}
+        self.bin_score = options.get("bin_score", 0.5)
+        self.match_threshold = options.get("match_threshold", 0.2)
+
+    def get_module_name(self):
+        return "superglue_endpoints"
+
+    def match_pair(self, descinfo1, descinfo2) -> np.ndarray:
+        from limap_tpu.point2d.matching import log_sinkhorn
+        d1 = np.asarray(descinfo1["endpoints_desc"], np.float32)
+        d2 = np.asarray(descinfo2["endpoints_desc"], np.float32)
+        if d1.shape[1] == 0 or d2.shape[1] == 0:
+            return np.zeros((0, 2), np.int64)
+        line_scores = _line_scores(jnp.asarray(d1), jnp.asarray(d2))
+        Z = np.asarray(log_sinkhorn(line_scores / 0.1,
+                                    jnp.asarray(self.bin_score)))
+        P = np.exp(Z[:-1, :-1])
+        b2 = P.argmax(1)
+        b1 = P.argmax(0)
+        i = np.arange(P.shape[0])
+        mutual = b1[b2[i]] == i
+        good = mutual & (P[i, b2[i]] >= self.match_threshold)
+        return np.stack([i[good], b2[i][good]], axis=1)

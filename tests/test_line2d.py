@@ -109,3 +109,28 @@ def test_topk_matching_contains_truth(rng):
     matches = matcher.match_pair(d, d)
     for i in range(len(gt)):
         assert [i, i] in matches.tolist()
+
+
+def test_merge_lines():
+    from limap_tpu.line2d.line_utils import merge_lines
+    segs = np.array([[0, 0, 40, 0, 1.0], [45, 0.5, 100, 0.5, 1.0],
+                     [0, 50, 100, 50, 1.0]])
+    out = merge_lines(segs)
+    assert len(out) == 2
+    lengths = np.linalg.norm(out[:, 2:4] - out[:, :2], axis=1)
+    assert lengths.max() > 95  # the two collinear pieces merged
+
+
+def test_sinkhorn_endpoint_matcher(rng):
+    from limap_tpu.line2d.base import MATCHER_REGISTRY
+    from limap_tpu.line2d.endpoints import (PatchEndpointsExtractor,
+                                            SinkhornEndpointsMatcher)
+    assert "superglue_endpoints" in MATCHER_REGISTRY
+    img, gt = draw_synthetic_image(rng, n_lines=6)
+    segs = np.concatenate([gt, np.ones((len(gt), 1))], axis=1)
+    ext = PatchEndpointsExtractor()
+    d = ext.compute_descinfo(img, segs)
+    matcher = SinkhornEndpointsMatcher(ext, {"match_threshold": 0.12})
+    matches = matcher.match_pair(d, d)
+    correct = (matches[:, 0] == matches[:, 1]).mean() if len(matches) else 0
+    assert len(matches) >= 4 and correct > 0.7

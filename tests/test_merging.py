@@ -158,3 +158,26 @@ def test_filter_and_remerge(rng):
     from limap_tpu.base.line_linker import LineLinker3dConfig
     merged = remerge(tracks, batch, id2idx, LineLinker3dConfig())
     assert len(merged) == len(tracks)
+
+
+def test_merging_strategies(rng):
+    """avg/exhaustive strategies reject merges across distant lines."""
+    from limap_tpu.base.line_linker import LineLinker3dConfig
+    from limap_tpu.merging.strategies import (compute_track_labels_avg,
+                                              compute_track_labels_exhaustive)
+    # 4 nodes: two parallel overlapping pairs offset by 5 in y; a
+    # spurious edge connects the two groups (the avgtest linker must
+    # reject it: same direction + overlap but perp distance 5 >> th)
+    node_lines = np.array([
+        [[0, 0, 0], [1, 0, 0]], [[0.001, 0, 0], [1.001, 0, 0]],
+        [[0, 5, 0], [1, 5, 0]], [[0.001, 5, 0], [1.001, 5, 0]],
+    ])
+    edges = np.array([[0, 1], [2, 3], [1, 2]])
+    scores = np.array([1.0, 1.0, 0.9])
+    image_idx = np.arange(4)
+    cfg = LineLinker3dConfig(th_perp=0.1)
+    for fn in (compute_track_labels_avg, compute_track_labels_exhaustive):
+        labels = fn(edges, scores, node_lines, image_idx, cfg)
+        assert labels[0] == labels[1]
+        assert labels[2] == labels[3]
+        assert labels[0] != labels[2], fn.__name__
