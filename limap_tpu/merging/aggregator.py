@@ -11,8 +11,10 @@ replacing per-track JacobiSVD calls.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from limap_tpu.base.lines import EPS, Segments
@@ -40,6 +42,7 @@ def principal_direction(points: jnp.ndarray, mask: jnp.ndarray,
         center
 
 
+@partial(jax.jit, static_argnums=(3,))
 def aggregate_tracks(line3d: Segments, scores: jnp.ndarray,
                      mask: jnp.ndarray, num_outliers: int = 2) -> Segments:
     """Aggregate supports -> representative segments, batched over tracks.

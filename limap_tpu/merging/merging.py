@@ -285,6 +285,26 @@ def filter_tracks_by_num_images(batch: TrackBatch,
 # ======================================================================
 # Remerge (merging.cc:513-643), iterated to fixpoint
 # ======================================================================
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _build_remerge_check(cfg: LineLinker3dConfig):
+    @jax.jit
+    def run(line_start, line_end, line3d_start, line3d_end, mask, kvec,
+            qvec, tvec):
+        sv = CameraViewsBatch(kvec, qvec, tvec)
+        u_support = lg.compute_uncertainty(
+            Segments(line3d_start, line3d_end), sv)
+        u = jnp.min(jnp.where(mask, u_support, 1e30), axis=1)
+        line = Segments(line_start, line_end, uncertainty=u)
+        T = line_start.shape[0]
+        ok = check_3d(_expand(line, 1), _expand(line, 0), cfg)
+        return ok & ~jnp.eye(T, dtype=bool)
+
+    return run
+
+
 def remerge_once(tracks: List[LineTrack], views: CameraViewsBatch,
                  id2idx: Dict[int, int], cfg3d: LineLinker3dConfig,
                  num_outliers: int = 2) -> List[LineTrack]:
@@ -292,16 +312,12 @@ def remerge_once(tracks: List[LineTrack], views: CameraViewsBatch,
         return tracks
     cfg = cfg3d.to_spatial_merging()
     batch = tracks_to_batch(tracks, id2idx)
-    # per-track aggregate line w/ min support uncertainty
     sv = _support_views(batch, views)
-    u_support = lg.compute_uncertainty(batch.line3d, sv)
-    u = jnp.min(jnp.where(batch.mask, u_support, 1e30), axis=1)
-    line = batch.line._replace(uncertainty=u)
-
     T = len(tracks)
-    ok = check_3d(_expand(line, 1), _expand(line, 0), cfg)
-    ok &= ~jnp.eye(T, dtype=bool)
-    ok = np.asarray(ok)
+    check = _build_remerge_check(cfg)
+    ok = np.asarray(check(batch.line.start, batch.line.end,
+                          batch.line3d.start, batch.line3d.end, batch.mask,
+                          sv.kvec, sv.qvec, sv.tvec))
     pairs = np.argwhere(np.triu(ok | ok.T, k=1))
     E_pad = max(len(pairs), 1)
     edges = np.zeros((E_pad, 2), np.int32)

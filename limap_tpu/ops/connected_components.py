@@ -13,10 +13,13 @@ All functions are jittable; edge lists are padded with ``mask``.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
 
+@partial(jax.jit, static_argnums=(0,))
 def connected_components(n_nodes: int, edges: jnp.ndarray,
                          edge_mask: jnp.ndarray) -> jnp.ndarray:
     """Labels [n_nodes] int32; each component tagged by its min node id.
@@ -65,6 +68,7 @@ def connected_components(n_nodes: int, edges: jnp.ndarray,
     return labels
 
 
+@jax.jit
 def compact_labels(labels: jnp.ndarray, node_mask=None):
     """Relabel component ids to dense [0, n_comp); masked nodes get -1.
 

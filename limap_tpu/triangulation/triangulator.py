@@ -330,114 +330,125 @@ class GlobalLineTriangulator:
         self._process_edges(row, np.asarray(edge_list, np.int64).reshape(
             -1, 5), len(neighbors), ng_rows)
 
+    def _fused_kernel(self, E: int, K: int):
+        """One device program per (edge bucket, neighbor count):
+        proposals -> on-device grouping into [L, T] slots -> pairwise
+        scoring -> best-tri + valid-edge selection.  A single upload of
+        the edge list and a single download of per-node outputs replace
+        ~15 host<->device round-trips per image (dominant on remote TPU
+        backends)."""
+        cfg = self.cfg
+        proposal_kernel = self._proposal_kernel(E)
+        scoring = self._scoring_kernel()
+        T = cfg.max_tris_per_node
+        L = self.L
+
+        @jax.jit
+        def run(views_kvec, views_qvec, views_tvec, l2d_start, l2d_end,
+                line_ok, edge_img, edge_a, edge_ng, edge_b, edge_slot,
+                edge_valid, vp_data, ranges_lo, ranges_hi):
+            start, end, depths, unc, ok = proposal_kernel(
+                views_kvec, views_qvec, views_tvec, l2d_start, l2d_end,
+                line_ok, edge_img, edge_a, edge_ng, edge_b, edge_valid,
+                vp_data, ranges_lo, ranges_hi)
+            P = start.shape[0]
+            B = P // E
+            a_rep = jnp.tile(edge_a, B)
+            ng_rep = jnp.tile(edge_ng, B)
+            b_rep = jnp.tile(edge_b, B)
+            slot_rep = jnp.tile(edge_slot, B)
+            ok = ok & jnp.tile(edge_valid, B)
+
+            # ---- on-device grouping by source line id ----
+            a_key = jnp.where(ok, a_rep, L).astype(jnp.int32)
+            order = jnp.argsort(a_key, stable=True)
+            a_sorted = a_key[order]
+            starts = jnp.searchsorted(a_sorted,
+                                      jnp.arange(L, dtype=jnp.int32))
+            pos = jnp.arange(P) - starts[jnp.clip(a_sorted, 0, L - 1)]
+            entry_ok = (a_sorted < L) & (pos < T)
+            # out-of-bounds rows dropped by scatter mode="drop"
+            t_row = jnp.where(entry_ok, a_sorted, L)
+            t_col = jnp.where(entry_ok, pos, 0)
+
+            def scat(src, init):
+                return init.at[t_row, t_col].set(src[order], mode="drop")
+
+            tri_start = scat(start, jnp.zeros((L, T, 3), start.dtype))
+            tri_end = scat(end, jnp.zeros((L, T, 3), start.dtype))
+            tri_depths = scat(depths, jnp.zeros((L, T, 2), start.dtype))
+            tri_unc = scat(unc, jnp.ones((L, T), start.dtype))
+            tri_okm = scat(ok, jnp.zeros((L, T), bool))
+            tri_ng_row = scat(ng_rep, jnp.zeros((L, T), ng_rep.dtype))
+            tri_ng_line = scat(b_rep, jnp.zeros((L, T), b_rep.dtype))
+            tri_ng_slot = scat(slot_rep, jnp.zeros((L, T), slot_rep.dtype))
+
+            # ---- scoring ----
+            ng_kvec = views_kvec[tri_ng_row]
+            ng_qvec = views_qvec[tri_ng_row]
+            ng_tvec = views_tvec[tri_ng_row]
+            ng_l2d_s = l2d_start[tri_ng_row, tri_ng_line]
+            ng_l2d_e = l2d_end[tri_ng_row, tri_ng_line]
+            scores = scoring(K, tri_start, tri_end, tri_depths, tri_unc,
+                             tri_okm, tri_ng_slot, ng_kvec, ng_qvec,
+                             ng_tvec, ng_l2d_s, ng_l2d_e)
+
+            # ---- best tri + valid edges (cc:118-153) ----
+            best = jnp.argmax(scores, axis=1)
+            rows = jnp.arange(L)
+            has_any = tri_okm[rows, best]
+            best_start = tri_start[rows, best]
+            best_end = tri_end[rows, best]
+            best_depths = tri_depths[rows, best]
+            best_unc = jnp.where(has_any, tri_unc[rows, best], 1e30)
+            best_score = jnp.where(has_any, scores[rows, best], -1.0)
+
+            valid = tri_okm & (scores >= cfg.fullscore_th)
+            rank = jnp.argsort(jnp.argsort(-scores, axis=1), axis=1)
+            valid &= rank < cfg.max_valid_conns
+            ng_global = tri_ng_row.astype(jnp.int64) * L \
+                + tri_ng_line.astype(jnp.int64)
+            cnt = jnp.minimum(jnp.sum(valid, axis=1), T)
+            # pack valid entries left per row
+            pack_order = jnp.argsort(~valid, axis=1, stable=True)
+            packed = jnp.take_along_axis(ng_global, pack_order, axis=1)
+            n_per_row = jnp.arange(T)[None, :]
+            padded = jnp.where(n_per_row < cnt[:, None], packed, -1)
+            return (best_start, best_end, best_depths, best_unc,
+                    best_score, padded, cnt)
+
+        return run
+
     def _process_edges(self, row: int, edges: np.ndarray, K: int,
                        ng_rows: List[int]) -> None:
         if len(edges) == 0:
             return
         E = int(2 ** np.ceil(np.log2(max(len(edges), 32))))
-        key = ("prop", E)
+        key = ("fused", E, K)
         if key not in self._compiled:
-            self._compiled[key] = self._proposal_kernel(E)
+            self._compiled[key] = self._fused_kernel(E, K)
         pad = E - len(edges)
         ep = np.pad(edges, ((0, pad), (0, 0)))
         evalid = np.arange(E) < len(edges)
 
         lo = self.ranges[0] if self.ranges is not None else None
         hi = self.ranges[1] if self.ranges is not None else None
-        run = self._compiled[key]
-        start, end, depths, unc, ok = run(
+        (best_start, best_end, best_depths, best_unc, best_score,
+         padded, cnt) = self._compiled[key](
             self.views.kvec, self.views.qvec, self.views.tvec,
             self.lines2d.start, self.lines2d.end, self.line_ok,
             jnp.asarray(ep[:, 0]), jnp.asarray(ep[:, 1]),
             jnp.asarray(ep[:, 2]), jnp.asarray(ep[:, 3]),
-            jnp.asarray(evalid), self.vpresults, lo, hi)
+            jnp.asarray(ep[:, 4]), jnp.asarray(evalid),
+            self.vpresults, lo, hi)
 
-        start = np.array(start)
-        end = np.array(end)
-        depths = np.array(depths)
-        unc = np.array(unc)
-        ok = np.array(ok)
-
-        # proposals repeat the edge list per proposal bank
-        B = len(start) // E
-        e_rep = np.tile(ep, (B, 1))
-        ok &= np.tile(evalid, B)
-
-        # ---- group proposals by source line id into [L, T] slots ----
-        T = self.cfg.max_tris_per_node
-        L = self.L
-        sel = np.nonzero(ok)[0]
-        if len(sel) == 0:
-            return
-        a_ids = e_rep[sel, 1]
-        order = np.argsort(a_ids, kind="stable")
-        sel = sel[order]
-        a_sorted = a_ids[order]
-        # position within the group
-        starts = np.searchsorted(a_sorted, np.arange(L), side="left")
-        counts = np.searchsorted(a_sorted, np.arange(L), side="right") - starts
-        pos = np.arange(len(sel)) - starts[a_sorted]
-        keep = pos < T
-        sel = sel[keep]
-        a_keep = a_sorted[keep]
-        pos = pos[keep]
-
-        tri_start = np.zeros((L, T, 3), np.float32)
-        tri_end = np.zeros((L, T, 3), np.float32)
-        tri_depths = np.zeros((L, T, 2), np.float32)
-        tri_unc = np.ones((L, T), np.float32)
-        tri_okm = np.zeros((L, T), bool)
-        tri_ng_row = np.zeros((L, T), np.int64)
-        tri_ng_line = np.zeros((L, T), np.int64)
-        tri_ng_slot = np.zeros((L, T), np.int64)
-
-        tri_start[a_keep, pos] = start[sel]
-        tri_end[a_keep, pos] = end[sel]
-        tri_depths[a_keep, pos] = depths[sel]
-        tri_unc[a_keep, pos] = unc[sel]
-        tri_okm[a_keep, pos] = True
-        tri_ng_row[a_keep, pos] = e_rep[sel, 2]
-        tri_ng_line[a_keep, pos] = e_rep[sel, 3]
-        tri_ng_slot[a_keep, pos] = e_rep[sel, 4]
-
-        # ---- scoring ----
-        if "score" not in self._compiled:
-            self._compiled["score"] = self._scoring_kernel()
-        ngv = self.views.select(jnp.asarray(tri_ng_row))
-        ng_l2d_s = self.lines2d.start[jnp.asarray(tri_ng_row),
-                                      jnp.asarray(tri_ng_line)]
-        ng_l2d_e = self.lines2d.end[jnp.asarray(tri_ng_row),
-                                    jnp.asarray(tri_ng_line)]
-        scores = np.asarray(self._compiled["score"](
-            K, jnp.asarray(tri_start), jnp.asarray(tri_end),
-            jnp.asarray(tri_depths), jnp.asarray(tri_unc),
-            jnp.asarray(tri_okm), jnp.asarray(tri_ng_slot),
-            ngv.kvec, ngv.qvec, ngv.tvec, ng_l2d_s, ng_l2d_e))
-
-        # ---- best tri + valid edges per node (cc:118-153) ----
-        best = np.argmax(scores, axis=1)
-        rows = np.arange(L)
-        has_any = tri_okm[rows, best]
-        self.best_line3d[row, :, 0] = tri_start[rows, best]
-        self.best_line3d[row, :, 1] = tri_end[rows, best]
-        self.best_depths[row] = tri_depths[rows, best]
-        self.best_unc[row] = np.where(has_any, tri_unc[rows, best], 1e30)
-        self.best_score[row] = np.where(has_any, scores[rows, best], -1.0)
-
-        valid = tri_okm & (scores >= self.cfg.fullscore_th)
-        order2 = np.argsort(-scores, axis=1)
-        rank = np.empty_like(order2)
-        np.put_along_axis(rank, order2, np.arange(scores.shape[1])[None],
-                          axis=1)
-        valid &= rank < self.cfg.max_valid_conns
-        ng_global = tri_ng_row * L + tri_ng_line
-        cnt = np.minimum(valid.sum(1), self.cfg.max_tris_per_node)
-        self.valid_edge_cnt[row] = cnt
-        padded = np.full((L, self.cfg.max_tris_per_node), -1, np.int64)
-        for li in np.nonzero(cnt)[0]:
-            sel_e = np.nonzero(valid[li])[0][:cnt[li]]
-            padded[li, :len(sel_e)] = ng_global[li, sel_e]
-        self.valid_edge_ng[row] = padded
+        self.best_line3d[row, :, 0] = np.asarray(best_start)
+        self.best_line3d[row, :, 1] = np.asarray(best_end)
+        self.best_depths[row] = np.asarray(best_depths)
+        self.best_unc[row] = np.asarray(best_unc)
+        self.best_score[row] = np.asarray(best_score)
+        self.valid_edge_cnt[row] = np.asarray(cnt)
+        self.valid_edge_ng[row] = np.asarray(padded)
 
     # ------------------------------------------------------ track build
     def _filter_by_num_outer_edges(self) -> np.ndarray:
@@ -497,20 +508,33 @@ class GlobalLineTriangulator:
             return []
 
         # edge test: 3D linker score on the best tris (cc:276-284;
-        # reference keeps score = score_3d only)
+        # reference keeps score = score_3d only).  Jitted + edge-count
+        # bucketed so the whole scoring is one fused device call.
         cfg3d_cluster = self.cfg.linker3d.to_spatial_merging()
         b_start = self.best_line3d[..., 0, :].reshape(I * L, 3)
         b_end = self.best_line3d[..., 1, :].reshape(I * L, 3)
         b_unc = self.best_unc.reshape(I * L)
         b_score = self.best_score.reshape(I * L)
 
-        l1 = Segments(jnp.asarray(b_start[und[:, 0]]),
-                      jnp.asarray(b_end[und[:, 0]]),
-                      uncertainty=jnp.asarray(b_unc[und[:, 0]]))
-        l2 = Segments(jnp.asarray(b_start[und[:, 1]]),
-                      jnp.asarray(b_end[und[:, 1]]),
-                      uncertainty=jnp.asarray(b_unc[und[:, 1]]))
-        escore = np.asarray(score_3d(l1, l2, cfg3d_cluster))
+        if "edge_score" not in self._compiled:
+            @partial(jax.jit, static_argnums=())
+            def edge_score_kernel(s1, e1, u1, s2, e2, u2):
+                l1 = Segments(s1, e1, uncertainty=u1)
+                l2 = Segments(s2, e2, uncertainty=u2)
+                return score_3d(l1, l2, cfg3d_cluster)
+
+            self._compiled["edge_score"] = edge_score_kernel
+
+        E_bucket = int(2 ** np.ceil(np.log2(max(len(und), 32))))
+        und_pad = np.zeros((E_bucket, 2), np.int64)
+        und_pad[:len(und)] = und
+        escore = np.asarray(self._compiled["edge_score"](
+            jnp.asarray(b_start[und_pad[:, 0]]),
+            jnp.asarray(b_end[und_pad[:, 0]]),
+            jnp.asarray(b_unc[und_pad[:, 0]]),
+            jnp.asarray(b_start[und_pad[:, 1]]),
+            jnp.asarray(b_end[und_pad[:, 1]]),
+            jnp.asarray(b_unc[und_pad[:, 1]])))[:len(und)]
         both_valid = (b_score[und[:, 0]] > 0) & (b_score[und[:, 1]] > 0)
         keep = (escore > 0) & both_valid
         und = und[keep]
