@@ -193,3 +193,64 @@ def line_fitnmerge(cfg: dict, imagecols, depths,
         if any(t.count_images() >= cfg["n_visible_views"]
                for t in linetracks) else np.zeros((0, 2, 3)))
     return linetracks
+
+
+def fit_3d_segs_with_points3d(all_2d_segs, imagecols, p3d_readers,
+                              fitting_config: dict, seed: int = 0):
+    """Fit 3D segments from dense per-pixel 3D point maps
+    (line_fitnmerge.py:73-130 in the reference, InLoc-style).
+
+    p3d_readers: {img_id: reader} where read() -> [H, W, 3] point map.
+    """
+    from limap_tpu.fitting import estimate_segs3d_from_points3d
+    out = {}
+    key = jax.random.PRNGKey(seed)
+    batch = imagecols.batch()
+    id2idx = imagecols.img_id_to_index()
+    for img_id in imagecols.get_img_ids():
+        segs = np.asarray(all_2d_segs[img_id], np.float32)
+        view = imagecols.camview(img_id)
+        if len(segs) == 0:
+            out[img_id] = np.zeros((0, 2, 3), np.float32)
+            continue
+        p3d_map = np.asarray(p3d_readers[img_id].read(None), np.float32)
+        key, sub = jax.random.split(key)
+        seg2d = Segments(jnp.asarray(segs[:, :2]), jnp.asarray(segs[:, 2:4]))
+        fitted = estimate_segs3d_from_points3d(
+            seg2d, jnp.asarray(p3d_map), batch.select(id2idx[img_id]), sub,
+            (view.h(), view.w()),
+            ransac_th=fitting_config.get("ransac_th", 0.75),
+            min_percentage_inliers=fitting_config.get(
+                "min_percentage_inliers", 0.9),
+            var2d=fitting_config.get("var2d", 2.0))
+        ok = np.asarray(fitted.score) > 0
+        arr = np.stack([np.asarray(fitted.start), np.asarray(fitted.end)],
+                       axis=1)
+        arr[~ok] = 0.0
+        out[img_id] = arr
+    return out
+
+
+def line_fitting_with_points3d(cfg: dict, imagecols, p3d_readers,
+                               neighbors=None, ranges=None):
+    """Fit&merge pipeline over per-pixel 3D point maps
+    (line_fitnmerge.py:316 in the reference): identical to
+    line_fitnmerge except stage [C] fits against point maps."""
+    cfg = runners.setup(cfg)
+    detector = cfg["line2d"]["detector"]["method"]
+    if cfg["fitting"].get("var2d", -1) == -1:
+        cfg["fitting"]["var2d"] = DEFAULT_VAR2D.get(detector, 2.0)
+    all_2d_segs, _ = runners.compute_2d_segs(cfg, imagecols,
+                                             compute_descinfo=False)
+    seg3d_list = fit_3d_segs_with_points3d(all_2d_segs, imagecols,
+                                           p3d_readers, cfg["fitting"])
+    # delegate to the shared merge/filter/save stages by substituting
+    # the fitted segments through the load_fit mechanism
+    fname_fit = "fitted_3d_segs.npy"
+    limapio.save_npy(os.path.join(cfg["dir_save"], fname_fit), seg3d_list)
+    cfg = dict(cfg)
+    cfg["load_fit"] = True
+    cfg["load_dir"] = cfg["dir_save"]
+    cfg["load_det"] = True
+    return line_fitnmerge(cfg, imagecols, depths=None, neighbors=neighbors,
+                          ranges=ranges)
