@@ -1,15 +1,16 @@
-"""Benchmark: batched line-BA throughput on the available accelerator.
+"""Benchmark: line-mapping throughput on the available accelerator.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The metric is track-LM-iterations/sec of the fixed-camera line bundle
-adjustment (the hot kernel of the mapping pipeline: residuals +
-Jacobians + 4x4 solves for every track at once).  ``vs_baseline`` is the
+Metric = mapped frames/s of the core triangulation stage (two-view
+proposal generation + O(tris^2) scoring + best-tri/valid-edge selection
+for every line of every image — the hot path of the flagship pipeline,
+cf. BASELINE.md "mapped frames/s").  Workload: 64 images x 800 lines,
+10 visual neighbors with dense correct matches.  ``vs_baseline`` is the
 speedup over the same jitted computation on the host CPU backend — the
-reference engine is CPU-only (Ceres), so CPU-vs-accelerator is the
-meaningful axis until the reference harness numbers are regenerated
-(BASELINE.md).
+reference engine is CPU-only (C++/OpenMP), so CPU-vs-accelerator is the
+meaningful axis until the reference harness numbers are regenerated.
 """
 
 import json
@@ -18,76 +19,57 @@ import time
 import numpy as np
 
 
-def build_problem(n_tracks, n_views, seed=0):
+def build_scene(n_views, n_lines, seed=0):
+    import jax
     import jax.numpy as jnp
     from scipy.spatial.transform import Rotation
 
-    from limap_tpu.base import CameraViewsBatch, Segments
+    from limap_tpu.base import Segments
     from limap_tpu.base import line_geometry as lg
-    from limap_tpu.base.infinite_line import MinimalInfiniteLines3d
-    from limap_tpu.base.linetrack import TrackBatch
-    from limap_tpu.optimize.line_ba import pack_minimal_lines
+    from limap_tpu.base.camera import Camera, CameraPose
+    from limap_tpu.base.image_collection import CameraImage, ImageCollection
 
     rng = np.random.default_rng(seed)
-    fx = 800.0
-    kvec = np.array([fx, fx, 640.0, 480.0], np.float32)
-    qvecs, tvecs = [], []
+    K = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
+    cams = {0: Camera(K=K, hw=(480, 640), cam_id=0)}
+    images = {}
     for k in range(n_views):
         R = Rotation.from_rotvec(rng.normal(size=3) * 0.05).as_matrix()
-        qvecs.append(Rotation.from_matrix(R).as_quat()[[3, 0, 1, 2]])
-        tvecs.append(np.array([0.4 * k, 0.02 * k, 0.01 * k]))
-    qvecs = np.asarray(qvecs, np.float32)
-    tvecs = np.asarray(tvecs, np.float32)
+        t = np.array([0.4 * (k % 8), 0.3 * (k // 8), 0.1 * k])
+        images[k] = CameraImage(0, CameraPose(R=R, tvec=t))
+    imagecols = ImageCollection(cams, images)
+    vb = imagecols.batch()
+    gt_start = rng.normal(size=(n_lines, 3)).astype(np.float32) * 3
+    gt_start[:, 2] += 12
+    gt_end = gt_start + rng.normal(size=(n_lines, 3)).astype(np.float32)
+    gt = Segments(jnp.asarray(gt_start), jnp.asarray(gt_end))
+    all_v = vb.select(jnp.repeat(jnp.arange(n_views), n_lines))
+    seg_rep = Segments(jnp.tile(gt.start, (n_views, 1)),
+                       jnp.tile(gt.end, (n_views, 1)))
+    l2d_all = jax.jit(lg.project_segments)(seg_rep, all_v)
+    arr = np.concatenate([np.array(l2d_all.start), np.array(l2d_all.end)],
+                         axis=1).reshape(n_views, n_lines, 4)
+    segs = {k: arr[k] for k in range(n_views)}
 
-    S = min(n_views, 16)
-    gt_start = rng.normal(size=(n_tracks, 3)).astype(np.float32)
-    gt_start[:, 2] += 8
-    gt_end = gt_start + rng.normal(size=(n_tracks, 3)).astype(np.float32)
-    img_index = np.stack([rng.choice(n_views, size=S, replace=False)
-                          for _ in range(n_tracks)]).astype(np.int32)
-    vb = CameraViewsBatch(jnp.asarray(np.tile(kvec, (n_tracks, S, 1))),
-                          jnp.asarray(qvecs)[img_index],
-                          jnp.asarray(tvecs)[img_index])
-    seg = Segments(jnp.asarray(gt_start)[:, None].repeat(S, 1),
-                   jnp.asarray(gt_end)[:, None].repeat(S, 1))
-    l2d = lg.project_segments(seg, vb)
-
-    pert_s = gt_start + rng.normal(size=(n_tracks, 3)).astype(np.float32) * .02
-    pert_e = gt_end + rng.normal(size=(n_tracks, 3)).astype(np.float32) * .02
-    batch = TrackBatch(
-        line=Segments(jnp.asarray(pert_s), jnp.asarray(pert_e)),
-        img_index=jnp.asarray(img_index),
-        image_ids=jnp.asarray(img_index),
-        line_ids=jnp.zeros_like(jnp.asarray(img_index)),
-        line2d=l2d,
-        line3d=seg,
-        score=jnp.ones((n_tracks, S)),
-        mask=jnp.ones((n_tracks, S), bool),
-        track_mask=jnp.ones((n_tracks,), bool),
-    )
-    views = CameraViewsBatch(jnp.asarray(np.tile(kvec, (n_views, 1))),
-                             jnp.asarray(qvecs), jnp.asarray(tvecs))
-    return batch, views
+    matches = np.stack([np.arange(n_lines)] * 2, axis=1)
+    nbrs = {i: {j: matches
+                for j in range(max(0, i - 5), min(n_views, i + 6))
+                if j != i}
+            for i in range(n_views)}
+    return imagecols, segs, nbrs
 
 
-def time_ba(batch, views, n_iters, repeats=3):
-    import jax
+def time_mapping(imagecols, segs, nbrs, repeats=3):
+    from limap_tpu.triangulation.triangulator import (GlobalLineTriangulator,
+                                                      TriangulatorConfig)
 
-    from limap_tpu.optimize import LineBAConfig, solve_line_bundle_adjustment
-
-    cfg = LineBAConfig(loss="cauchy", min_num_images=2)
-
-    def run():
-        refined, result = solve_line_bundle_adjustment(
-            batch, views, cfg, num_iterations=n_iters)
-        jax.block_until_ready(result.cost)
-        return result
-
-    run()  # compile
+    tri = GlobalLineTriangulator(TriangulatorConfig(max_tris_per_node=32))
+    tri.init(segs, imagecols)
+    tri.triangulate_all(nbrs)  # compile
     best = 1e30
     for _ in range(repeats):
         t0 = time.perf_counter()
-        run()
+        tri.triangulate_all(nbrs)
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -95,33 +77,30 @@ def time_ba(batch, views, n_iters, repeats=3):
 def main():
     import jax
 
-    n_tracks, n_views, n_iters = 8192, 50, 20
-
+    n_views, n_lines = 64, 800
     platform = jax.devices()[0].platform
-    batch, views = build_problem(n_tracks, n_views)
-    t_dev = time_ba(batch, views, n_iters)
-    track_iters_per_sec = n_tracks * n_iters / t_dev
+    imagecols, segs, nbrs = build_scene(n_views, n_lines)
+    t_dev = time_mapping(imagecols, segs, nbrs)
+    frames_per_sec = n_views / t_dev
 
-    # CPU baseline: same computation, smaller problem, scaled linearly
     vs_baseline = 1.0
     if platform != "cpu":
         try:
             cpu = jax.devices("cpu")[0]
             with jax.default_device(cpu):
-                small_tracks = 1024
-                b2, v2 = build_problem(small_tracks, n_views)
-                b2 = jax.device_put(b2, cpu)
-                v2 = jax.device_put(v2, cpu)
-                t_cpu = time_ba(b2, v2, n_iters)
-                cpu_rate = small_tracks * n_iters / t_cpu
-                vs_baseline = track_iters_per_sec / cpu_rate
+                small_views = 16
+                ic2, segs2, nbrs2 = build_scene(small_views, n_lines)
+                t_cpu = time_mapping(ic2, segs2, nbrs2, repeats=1)
+                cpu_rate = small_views / t_cpu
+                vs_baseline = frames_per_sec / cpu_rate
         except Exception:
             pass
 
     print(json.dumps({
-        "metric": "line_ba_track_lm_iters_per_sec",
-        "value": round(track_iters_per_sec, 1),
-        "unit": f"track-iters/s (T={n_tracks}, S=16, {platform})",
+        "metric": "line_mapping_frames_per_sec",
+        "value": round(frames_per_sec, 2),
+        "unit": f"img/s (L={n_lines}, 10 nbrs, triangulate+score, "
+                f"{platform})",
         "vs_baseline": round(vs_baseline, 2),
     }))
 

@@ -86,15 +86,18 @@ def line_triangulation(cfg: dict, imagecols, neighbors: Optional[dict] = None,
             all_2d_segs, imagecols.get_map_camviews())
         triangulator.init_vp_results(vpresults)
 
-    for img_id in imagecols.get_img_ids():
-        if use_exhaustive:
+    if use_exhaustive:
+        for img_id in imagecols.get_img_ids():
             triangulator.triangulate_image_exhaustive(img_id,
                                                       neighbors[img_id])
-        else:
-            matches = np.load(
+    else:
+        matches_by_image = {
+            img_id: np.load(
                 os.path.join(matches_dir, f"matches_{img_id}.npy"),
                 allow_pickle=True).item()
-            triangulator.triangulate_image(img_id, matches)
+            for img_id in imagecols.get_img_ids()}
+        # batched fast path: G independent images per device call
+        triangulator.triangulate_all(matches_by_image)
     linetracks = triangulator.compute_line_tracks()
 
     # filters (line_triangulation.py:171-200)

@@ -330,8 +330,8 @@ class GlobalLineTriangulator:
         self._process_edges(row, np.asarray(edge_list, np.int64).reshape(
             -1, 5), len(neighbors), ng_rows)
 
-    def _fused_kernel(self, E: int, K: int):
-        """One device program per (edge bucket, neighbor count):
+    def _fused_core(self, E: int, K: int):
+        """Core of the one-device-program-per-image pipeline:
         proposals -> on-device grouping into [L, T] slots -> pairwise
         scoring -> best-tri + valid-edge selection.  A single upload of
         the edge list and a single download of per-node outputs replace
@@ -343,7 +343,6 @@ class GlobalLineTriangulator:
         T = cfg.max_tris_per_node
         L = self.L
 
-        @jax.jit
         def run(views_kvec, views_qvec, views_tvec, l2d_start, l2d_end,
                 line_ok, edge_img, edge_a, edge_ng, edge_b, edge_slot,
                 edge_valid, vp_data, ranges_lo, ranges_hi):
@@ -418,6 +417,108 @@ class GlobalLineTriangulator:
                     best_score, padded, cnt)
 
         return run
+
+    def _fused_kernel(self, E: int, K: int):
+        return jax.jit(self._fused_core(E, K))
+
+    def _fused_batch_kernel(self, E: int, K: int):
+        """vmapped fused pipeline: G independent images per device call.
+
+        Scene arrays broadcast; per-image edge arrays batch on axis 0.
+        Since scoring is per-image-local, the whole triangulation stage
+        is embarrassingly parallel until clustering — batching amortizes
+        the per-call transfer round trips by G.
+        """
+        core = self._fused_core(E, K)
+
+        def run(views_kvec, views_qvec, views_tvec, l2d_start, l2d_end,
+                line_ok, edges_packed, vp_data, ranges_lo, ranges_hi):
+            # edges_packed [E, 6] int32: img, a, ng, b, slot, valid
+            out = core(views_kvec, views_qvec, views_tvec, l2d_start,
+                       l2d_end, line_ok, edges_packed[:, 0],
+                       edges_packed[:, 1], edges_packed[:, 2],
+                       edges_packed[:, 3], edges_packed[:, 4],
+                       edges_packed[:, 5] > 0, vp_data, ranges_lo,
+                       ranges_hi)
+            (best_start, best_end, best_depths, best_unc, best_score,
+             padded, cnt) = out
+            # pack outputs: floats [L, 10], ints [L, T+1]
+            floats = jnp.concatenate(
+                [best_start, best_end, best_depths, best_unc[:, None],
+                 best_score[:, None]], axis=1)
+            ints = jnp.concatenate(
+                [padded.astype(jnp.int32), cnt[:, None].astype(jnp.int32)],
+                axis=1)
+            return floats, ints
+
+        return jax.jit(jax.vmap(
+            run, in_axes=(None, None, None, None, None, None, 0,
+                          None, None, None)))
+
+    def triangulate_all(self, matches_by_image: Dict[int, Dict[int,
+                                                               np.ndarray]],
+                        group_size: int = 8) -> None:
+        """Triangulate + score every image, ``group_size`` images per
+        device call (the batched fast path used by the runner)."""
+        img_rows = []
+        edge_arrays = []
+        K = 1
+        for img_id in self.img_ids:
+            matches = matches_by_image.get(img_id)
+            if matches is None:
+                continue
+            row = self.id2idx[img_id]
+            neighbors = sorted(matches.keys())
+            K = max(K, len(neighbors))
+            chunks = []
+            for slot, ng in enumerate(neighbors):
+                m = np.asarray(matches[ng]).reshape(-1, 2).astype(np.int64)
+                if not len(m):
+                    continue
+                cols = np.empty((len(m), 5), np.int64)
+                cols[:, 0] = row
+                cols[:, 1] = m[:, 0]
+                cols[:, 2] = self.id2idx[ng]
+                cols[:, 3] = m[:, 1]
+                cols[:, 4] = slot
+                chunks.append(cols)
+            edges = np.concatenate(chunks) if chunks else \
+                np.zeros((0, 5), np.int64)
+            img_rows.append(row)
+            edge_arrays.append(edges)
+        if not img_rows:
+            return
+
+        E = int(2 ** np.ceil(np.log2(max(
+            max(len(e) for e in edge_arrays), 32))))
+        key = ("fused_batch", E, K, group_size)
+        if key not in self._compiled:
+            self._compiled[key] = self._fused_batch_kernel(E, K)
+        kernel = self._compiled[key]
+        lo = self.ranges[0] if self.ranges is not None else None
+        hi = self.ranges[1] if self.ranges is not None else None
+
+        T = self.cfg.max_tris_per_node
+        for g0 in range(0, len(img_rows), group_size):
+            rows = img_rows[g0:g0 + group_size]
+            ep = np.zeros((group_size, E, 6), np.int32)
+            for gi, edges in enumerate(edge_arrays[g0:g0 + group_size]):
+                ep[gi, :len(edges), :5] = edges
+                ep[gi, :len(edges), 5] = 1
+            floats, ints = kernel(
+                self.views.kvec, self.views.qvec, self.views.tvec,
+                self.lines2d.start, self.lines2d.end, self.line_ok,
+                jnp.asarray(ep), self.vpresults, lo, hi)
+            floats = np.asarray(floats)
+            ints = np.asarray(ints)
+            for gi, row in enumerate(rows):
+                self.best_line3d[row, :, 0] = floats[gi, :, 0:3]
+                self.best_line3d[row, :, 1] = floats[gi, :, 3:6]
+                self.best_depths[row] = floats[gi, :, 6:8]
+                self.best_unc[row] = floats[gi, :, 8]
+                self.best_score[row] = floats[gi, :, 9]
+                self.valid_edge_ng[row] = ints[gi, :, :T]
+                self.valid_edge_cnt[row] = ints[gi, :, T]
 
     def _process_edges(self, row: int, edges: np.ndarray, K: int,
                        ng_rows: List[int]) -> None:

@@ -110,3 +110,29 @@ def test_triangulator_exhaustive(rng):
         tri.triangulate_image_exhaustive(img_id, ngs)
     tracks = tri.compute_line_tracks()
     assert len(tracks) >= n_lines * 0.8
+
+
+def test_triangulate_all_matches_per_image(rng):
+    """The batched triangulate_all path produces the same tracks as the
+    per-image path."""
+    n_views, n_lines = 5, 10
+    imagecols, gt, segs = build_scene(rng, n_views, n_lines)
+    cfg = TriangulatorConfig(fullscore_th=0.5, max_tris_per_node=16)
+    matches = perfect_matches(n_views, n_lines)
+
+    tri1 = GlobalLineTriangulator(cfg)
+    tri1.init(segs, imagecols)
+    for img_id in imagecols.get_img_ids():
+        tri1.triangulate_image(img_id, matches[img_id])
+    tracks1 = tri1.compute_line_tracks()
+
+    tri2 = GlobalLineTriangulator(cfg)
+    tri2.init(segs, imagecols)
+    tri2.triangulate_all(matches, group_size=3)
+    tracks2 = tri2.compute_line_tracks()
+
+    assert len(tracks1) == len(tracks2)
+    np.testing.assert_allclose(tri1.best_score, tri2.best_score, atol=1e-4)
+    lines1 = sorted(tuple(np.round(t.line.ravel(), 3)) for t in tracks1)
+    lines2 = sorted(tuple(np.round(t.line.ravel(), 3)) for t in tracks2)
+    assert lines1 == lines2
