@@ -1,11 +1,15 @@
 """Hybrid point-line absolute pose estimation (PnPL).
 
 Re-designs /root/reference/src/limap/estimators/absolute_pose: the
-LO-RANSAC loops (joint_pose_estimator.cc, pl_absolute_pose_ransac.h)
-become one batched kernel — H minimal P3P samples solved simultaneously,
-all (pose, correspondence) scores evaluated as a [H*4, N] matrix — with
-Levenberg-Marquardt local optimization (the reference's non-minimal
-Ceres step) on the best model's inliers.
+LO-RANSAC loops (joint_pose_estimator.cc, pl_absolute_pose_ransac.h,
+pl_absolute_pose_hybrid_ransac.h) become one batched kernel — minimal
+samples of all four solver types {P3P, P2P1LL, P1P2LL, P3LL} (the
+reference's PoseLib dispatch, joint_pose_estimator.cc:113-122) are
+drawn with combinatorial type probabilities and solved simultaneously,
+all (pose, correspondence) scores evaluated as one [H, N] matrix —
+with Levenberg-Marquardt local optimization (the reference's
+non-minimal Ceres step) on the best model's inliers.  Works from 3
+points, 3 lines, or any mix.
 
 Front door mirrors ``pl_estimate_absolute_pose``
 (_pl_estimate_absolute_pose.py:9-147): method None = direct nonlinear
@@ -26,6 +30,8 @@ from limap_tpu.base.camera import CameraViewsBatch
 from limap_tpu.base.lines import Segments
 from limap_tpu.base.pose import rotmat_to_quat
 from limap_tpu.estimators.p3p import p3p
+from limap_tpu.estimators.pnl_solvers import (line2d_to_normal, p1p2ll,
+                                              p2p1ll, p3ll)
 from limap_tpu.optimize.hybrid_localization import (LineLocConfig,
                                                     line_loc_residuals,
                                                     solve_jointloc)
@@ -131,31 +137,85 @@ def pl_estimate_absolute_pose(cfg: dict, l3ds, l3d_ids, l2ds, p3ds, p2ds,
             p2ds, kvec, campose.qvec, campose.tvec, loc_cfg)
         return CameraPose(q, t), None
 
-    # ---- batched RANSAC with P3P minimal samples ----
+    # ---- batched hybrid RANSAC over the 4 minimal solver types ----
+    # Sample counts per type follow the reference's combinatorial
+    # solver probabilities (hybrid_pose_estimator.h:45-127): weight of
+    # each {points, lines} split is the number of distinct minimal
+    # samples of that type.
     n_pts = len(p3ds)
-    if n_pts < 3:
-        raise ValueError("point-based RANSAC needs >= 3 point matches")
+    n_lines = len(l2ds)
     key = jax.random.PRNGKey(seed)
     H = ransac_cfg.n_hypotheses
-    k1, = jax.random.split(key, 1)
-    idx = jax.random.randint(k1, (H, 3), 0, n_pts)
-    # degenerate (repeated) samples score poorly; no need to reject
+    kv = jnp.asarray(kvec, jnp.float32)
     p3_j = jnp.asarray(p3ds, jnp.float32)
     p2_j = jnp.asarray(p2ds, jnp.float32)
-    kv = jnp.asarray(kvec, jnp.float32)
 
-    # bearings in the camera frame
-    sel3 = p3_j[idx]                       # [H, 3, 3]
-    sel2 = p2_j[idx]                       # [H, 3, 2]
-    u = (sel2[..., 0] - kv[2]) / kv[0]
-    v = (sel2[..., 1] - kv[3]) / kv[1]
-    bear = jnp.stack([u, v, jnp.ones_like(u)], axis=-1)
-    bear = bear / jnp.linalg.norm(bear, axis=-1, keepdims=True)
-    Rs, ts, ok = p3p(bear, sel3)           # [H, 4, ...]
+    def comb(n, k):
+        from math import comb as _c
+        return float(_c(n, k)) if n >= k else 0.0
 
-    Rs = Rs.reshape(-1, 3, 3)
-    ts = ts.reshape(-1, 3)
-    ok = ok.reshape(-1)
+    weights = {
+        "p3p": comb(n_pts, 3),
+        "p2p1ll": comb(n_pts, 2) * n_lines,
+        "p1p2ll": n_pts * comb(n_lines, 2),
+        "p3ll": comb(n_lines, 3),
+    }
+    total_w = sum(weights.values())
+    if total_w == 0:
+        raise ValueError(
+            "PnPL RANSAC needs >= 3 correspondences (points + lines)")
+    n_samples = {k: int(round(H * w / total_w)) for k, w in weights.items()}
+
+    def bearings(p2d):
+        u = (p2d[..., 0] - kv[2]) / kv[0]
+        v = (p2d[..., 1] - kv[3]) / kv[1]
+        b = jnp.stack([u, v, jnp.ones_like(u)], axis=-1)
+        return b / jnp.linalg.norm(b, axis=-1, keepdims=True)
+
+    # line observations in solver form (camera-plane normals + 3D
+    # point/direction); safe placeholders when there are no lines
+    if n_lines:
+        l2s_j = jnp.asarray(l2ds[:, 0], jnp.float32)
+        l2e_j = jnp.asarray(l2ds[:, 1], jnp.float32)
+        ln_n = line2d_to_normal(l2s_j, l2e_j, kv)        # [Nl, 3]
+        ln_P = jnp.asarray(
+            0.5 * (l3d_sel[:, 0] + l3d_sel[:, 1]), jnp.float32)
+        ln_V = l3d_sel[:, 1] - l3d_sel[:, 0]
+        ln_V = jnp.asarray(
+            ln_V / (np.linalg.norm(ln_V, axis=-1, keepdims=True) + 1e-12),
+            jnp.float32)
+
+    blocks = []  # (Rs, ts, ok) per solver type
+    keys = jax.random.split(key, 8)
+
+    if n_samples["p3p"] > 0:
+        idx = jax.random.randint(keys[0], (n_samples["p3p"], 3), 0, n_pts)
+        # degenerate (repeated) samples score poorly; no need to reject
+        Rs, ts, ok = p3p(bearings(p2_j[idx]), p3_j[idx])   # [H1, 4, ...]
+        blocks.append((Rs, ts, ok))
+    if n_samples["p2p1ll"] > 0:
+        hp = n_samples["p2p1ll"]
+        ip = jax.random.randint(keys[1], (hp, 2), 0, n_pts)
+        il = jax.random.randint(keys[2], (hp,), 0, n_lines)
+        Rs, ts, ok = p2p1ll(bearings(p2_j[ip]), p3_j[ip],
+                            ln_n[il], ln_P[il], ln_V[il], n_roots=4)
+        blocks.append((Rs, ts, ok))
+    if n_samples["p1p2ll"] > 0:
+        hp = n_samples["p1p2ll"]
+        ip = jax.random.randint(keys[3], (hp,), 0, n_pts)
+        il = jax.random.randint(keys[4], (hp, 2), 0, n_lines)
+        Rs, ts, ok = p1p2ll(bearings(p2_j[ip]), p3_j[ip],
+                            ln_n[il], ln_P[il], ln_V[il], n_roots=4)
+        blocks.append((Rs, ts, ok))
+    if n_samples["p3ll"] > 0:
+        hp = n_samples["p3ll"]
+        il = jax.random.randint(keys[5], (hp, 3), 0, n_lines)
+        Rs, ts, ok = p3ll(ln_n[il], ln_P[il], ln_V[il], n_roots=4)
+        blocks.append((Rs, ts, ok))
+
+    Rs = jnp.concatenate([b[0].reshape(-1, 3, 3) for b in blocks], axis=0)
+    ts = jnp.concatenate([b[1].reshape(-1, 3) for b in blocks], axis=0)
+    ok = jnp.concatenate([b[2].reshape(-1) for b in blocks], axis=0)
 
     l3s = jnp.asarray(l3d_sel[:, 0], jnp.float32)
     l3e = jnp.asarray(l3d_sel[:, 1], jnp.float32)

@@ -47,9 +47,13 @@ def _read_cameras_txt(path: str) -> Dict[int, Camera]:
 def _read_images_txt(path: str):
     images: Dict[int, CameraImage] = {}
     points2d: Dict[int, np.ndarray] = {}
+    # COLMAP's images.txt is two lines per image and the second
+    # (POINTS2D) line may be EMPTY — keep blank lines so the pairing
+    # stays aligned (only comments are dropped).
     with open(path) as f:
-        lines = [ln.strip() for ln in f
-                 if ln.strip() and not ln.startswith("#")]
+        lines = [ln.strip() for ln in f if not ln.lstrip().startswith("#")]
+    while lines and not lines[-1]:
+        lines.pop()
     for i in range(0, len(lines), 2):
         tok = lines[i].split()
         img_id = int(tok[0])
