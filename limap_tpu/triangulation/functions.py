@@ -417,3 +417,40 @@ def triangulate_line_with_one_point(
     good = Segments(start=lstart, end=lend, score=jnp.ones_like(z_s),
                     depths=jnp.stack([z_s, z_e], axis=-1))
     return _select(valid, good, _invalid_like(lstart))
+
+
+def line_triangulation_covariance(l1: Segments, view1: CameraViewsBatch,
+                                  l2: Segments, view2: CameraViewsBatch,
+                                  covariance: jnp.ndarray) -> jnp.ndarray:
+    """First-order uncertainty propagation for algebraic triangulation
+    (functions.cc:235-292).
+
+    Propagates the [..., 8, 8] covariance of the stacked endpoint pixels
+    ``(l1.start, l1.end, l2.start, l2.end)`` through the two-view
+    ray/plane endpoint map to the [..., 6, 6] covariance of the
+    triangulated 3D endpoints ``(start, end)``.  The reference
+    hand-derives the 6x8 Jacobian via matrix-inverse perturbations; here
+    the identical map (see :func:`triangulate_line_algebraic`) is
+    differentiated exactly with forward-mode autodiff and batched with
+    vmap — one fused XLA program for all pairs.
+    """
+    x8 = jnp.concatenate([l1.start, l1.end, l2.start, l2.end], axis=-1)
+
+    def endpoints(x, v1: CameraViewsBatch, v2: CameraViewsBatch):
+        c1s = v1.ray_direction(x[0:2])
+        c1e = v1.ray_direction(x[2:4])
+        c2s = v2.ray_direction(x[4:6])
+        c2e = v2.ray_direction(x[6:8])
+        C1 = v1.center()
+        B = v2.center() - C1
+        n2 = jnp.cross(c2s, c2e)  # back-projection plane of l2
+        bn = jnp.sum(B * n2)
+        t_s = bn / (jnp.sum(c1s * n2) + EPS)
+        t_e = bn / (jnp.sum(c1e * n2) + EPS)
+        return jnp.concatenate([C1 + t_s * c1s, C1 + t_e * c1e])
+
+    jac = jax.jacfwd(endpoints)
+    for _ in x8.shape[:-1]:
+        jac = jax.vmap(jac)
+    J = jac(x8, view1, view2)  # [..., 6, 8]
+    return J @ covariance @ jnp.swapaxes(J, -1, -2)
