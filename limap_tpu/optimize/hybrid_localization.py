@@ -28,7 +28,7 @@ COST_FUNCTIONS = ("2d_midpoint_dist2", "2d_midpoint_angle_dist3",
                   "3d_line_line_dist2", "3d_plane_line_dist2")
 COST_WEIGHTS = ("none", "cosine", "line3dpp", "length", "invlength")
 
-# reference enum name -> ours
+# reference enum / user-facing names (solve.py:6-51) -> ours
 _COST_ALIASES = {
     "E2DMidpointDist2": "2d_midpoint_dist2",
     "E2DMidpointAngleDist3": "2d_midpoint_angle_dist3",
@@ -39,6 +39,27 @@ _COST_ALIASES = {
     "ENoneWeight": "none", "ECosineWeight": "cosine",
     "ELine3dppWeight": "line3dpp", "ELengthWeight": "length",
     "EInvLengthWeight": "invlength",
+    # user-facing spellings accepted by the reference's
+    # get_lineloc_cost_func (solve.py:6-33)
+    "MidpointDist": "2d_midpoint_dist2",
+    "MidpointDist2": "2d_midpoint_dist2",
+    "2DMidpointDist": "2d_midpoint_dist2",
+    "2DMidpointDist2": "2d_midpoint_dist2",
+    "MidpointAngle": "2d_midpoint_angle_dist3",
+    "MidpointAngleDist": "2d_midpoint_angle_dist3",
+    "2DMidpointAngleDist": "2d_midpoint_angle_dist3",
+    "PerpendicularDist": "2d_perpendicular_dist2",
+    "PerpendicularDist2": "2d_perpendicular_dist2",
+    "2DPerpendicularDist": "2d_perpendicular_dist2",
+    "2DPerpendicularDist2": "2d_perpendicular_dist2",
+    "PerpendicularDist4": "2d_perpendicular_dist4",
+    "2DPerpendicularDist4": "2d_perpendicular_dist4",
+    "3DLineLineDist": "3d_line_line_dist2",
+    "3DLineLineDist2": "3d_line_line_dist2",
+    "3DPlaneLineDist": "3d_plane_line_dist2",
+    "3DPlaneLineDist2": "3d_plane_line_dist2",
+    "Cosine": "cosine", "Line3dpp": "line3dpp", "Length": "length",
+    "InvLength": "invlength",
 }
 
 
@@ -187,38 +208,56 @@ def solve_jointloc(l3d_start: np.ndarray, l3d_end: np.ndarray,
     if point_mask is None:
         point_mask = np.ones(npt, bool)
 
-    l3d = Segments(jnp.asarray(l3d_start, jnp.float32).reshape(-1, 3),
-                   jnp.asarray(l3d_end, jnp.float32).reshape(-1, 3))
-    l2d = Segments(jnp.asarray(l2d_start, jnp.float32).reshape(-1, 2),
-                   jnp.asarray(l2d_end, jnp.float32).reshape(-1, 2))
-    p3 = jnp.asarray(p3ds, jnp.float32).reshape(-1, 3)
-    p2 = jnp.asarray(p2ds, jnp.float32).reshape(-1, 2)
-    kv = jnp.asarray(kvec, jnp.float32)
-    lm_mask = jnp.asarray(line_mask)
-    pm_mask = jnp.asarray(point_mask)
+    # data enters via aux (leading [1] batch dim) so the residual
+    # function identity — and therefore the cached fused LM program —
+    # is reused across calls (repeated LO refits would otherwise
+    # retrace the whole solver every call)
+    def b(x, shape, dtype=jnp.float32):
+        return jnp.asarray(x, dtype).reshape((1,) + shape)
 
-    def residual_fn(params):
+    aux = (b(l3d_start, (nl, 3)), b(l3d_end, (nl, 3)),
+           b(l2d_start, (nl, 2)), b(l2d_end, (nl, 2)),
+           b(line_mask, (nl,), jnp.bool_),
+           b(p3ds, (npt, 3)), b(p2ds, (npt, 2)),
+           b(point_mask, (npt,), jnp.bool_),
+           b(kvec, (4,)))
+    residual_fn = _jointloc_residual(cfg, nl > 0, npt > 0)
+
+    params0 = pack_pose(qvec0, tvec0)[None]
+    result = lm_solve(params0, residual_fn, retract_pose, 6, aux=aux,
+                      num_iterations=num_iterations)
+    p = np.asarray(result.params[0])
+    return p[:4], p[4:7], float(result.cost[0])
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _jointloc_residual(cfg: LineLocConfig, has_lines: bool,
+                       has_points: bool):
+    """Cached residual function for solve_jointloc (stable identity ->
+    the LM program in optimize/lm.py compiles once per config+shape)."""
+
+    def residual_fn(params, l3s, l3e, l2s, l2e, lmask, p3, p2, pmask, kv):
         views = CameraViewsBatch(kv, params[:4], params[4:7])
         rs = []
-        if nl:
+        if has_lines:
+            l3d = Segments(l3s, l3e)
+            l2d = Segments(l2s, l2e)
             r_line = line_loc_residuals(l3d, l2d, views, cfg)  # [nl, R]
             r2 = jax.lax.stop_gradient(jnp.sum(r_line**2, -1))
             rw = robust_weight(r2, cfg.loss, cfg.loss_scale)
             scale = jnp.sqrt(cfg.weight_line * rw + 1e-12)
-            r_line = jnp.where(lm_mask[:, None], r_line * scale[:, None],
-                               0.0)
+            r_line = jnp.where(lmask[:, None], r_line * scale[:, None], 0.0)
             rs.append(r_line.reshape(-1))
-        if npt:
+        if has_points:
             r_pt = views.project(p3) - p2
             r2 = jax.lax.stop_gradient(jnp.sum(r_pt**2, -1))
             rw = robust_weight(r2, cfg.loss, cfg.loss_scale)
             scale = jnp.sqrt(cfg.weight_point * rw + 1e-12)
-            r_pt = jnp.where(pm_mask[:, None], r_pt * scale[:, None], 0.0)
+            r_pt = jnp.where(pmask[:, None], r_pt * scale[:, None], 0.0)
             rs.append(r_pt.reshape(-1))
         return jnp.concatenate(rs) if rs else jnp.zeros((1,))
 
-    params0 = pack_pose(qvec0, tvec0)[None]
-    result = lm_solve(params0, residual_fn, retract_pose, 6,
-                      num_iterations=num_iterations)
-    p = np.asarray(result.params[0])
-    return p[:4], p[4:7], float(result.cost[0])
+    return residual_fn
