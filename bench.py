@@ -7,10 +7,15 @@ Metric = mapped frames/s of the core triangulation stage (two-view
 proposal generation + O(tris^2) scoring + best-tri/valid-edge selection
 for every line of every image — the hot path of the flagship pipeline,
 cf. BASELINE.md "mapped frames/s").  Workload: 64 images x 800 lines,
-10 visual neighbors with dense correct matches.  ``vs_baseline`` is the
-speedup over the same jitted computation on the host CPU backend — the
-reference engine is CPU-only (C++/OpenMP), so CPU-vs-accelerator is the
-meaningful axis until the reference harness numbers are regenerated.
+10 visual neighbors with dense correct matches.
+
+``vs_baseline`` is the speedup over the C++/OpenMP reference-semantics
+engine (limap_tpu/cpp/ref_engine.cpp) running the SAME scene with the
+SAME config on the host CPU.  The upstream LIMAP engine cannot be built
+in-env (FetchContent deps need network); the C++ engine reproduces its
+per-object architecture and its exact track output (validated against
+the f64 oracle in tests/test_ref_engine.py), so its wall-clock is the
+honest stand-in for "CPU reference" per BASELINE.md's >= 5x target.
 """
 
 import json
@@ -83,24 +88,32 @@ def main():
     t_dev = time_mapping(imagecols, segs, nbrs)
     frames_per_sec = n_views / t_dev
 
+    # C++/OpenMP reference-semantics engine on the same scene + config
     vs_baseline = 1.0
-    if platform != "cpu":
-        try:
-            cpu = jax.devices("cpu")[0]
-            with jax.default_device(cpu):
-                small_views = 16
-                ic2, segs2, nbrs2 = build_scene(small_views, n_lines)
-                t_cpu = time_mapping(ic2, segs2, nbrs2, repeats=1)
-                cpu_rate = small_views / t_cpu
-                vs_baseline = frames_per_sec / cpu_rate
-        except Exception:
-            pass
+    cpp_rate = None
+    try:
+        from limap_tpu.testing import ref_engine
+        from limap_tpu.triangulation.triangulator import TriangulatorConfig
+
+        views = {}
+        for i in imagecols.images:
+            cam = imagecols.cameras[imagecols.images[i].cam_id]
+            pose = imagecols.images[i].pose
+            views[i] = (cam.K(), pose.R(), pose.tvec)
+        res = ref_engine.run(views, segs, nbrs, repeats=2,
+                             cfg=TriangulatorConfig(max_tris_per_node=32))
+        cpp_rate = n_views / res["triangulate_s"]
+        vs_baseline = frames_per_sec / cpp_rate
+    except Exception:
+        pass
 
     print(json.dumps({
         "metric": "line_mapping_frames_per_sec",
         "value": round(frames_per_sec, 2),
         "unit": f"img/s (L={n_lines}, 10 nbrs, triangulate+score, "
-                f"{platform})",
+                f"{platform}; baseline=C++ ref engine"
+                + (f" {cpp_rate:.1f} img/s" if cpp_rate else " unavailable")
+                + ")",
         "vs_baseline": round(vs_baseline, 2),
     }))
 
