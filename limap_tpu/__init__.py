@@ -32,4 +32,31 @@ Subpackages mirror the reference's layer map (see SURVEY.md §1):
 
 __version__ = "0.1.0"
 
-from limap_tpu import base  # noqa: F401
+import os as _os
+
+
+def _enable_persistent_compilation_cache() -> None:
+    """Point XLA at an on-disk compilation cache.
+
+    The fused mapping kernels take minutes to compile on a remote TPU
+    backend; the persistent cache cuts warm-process startup to seconds.
+    Opt out with ``LIMAP_TPU_COMPILATION_CACHE=0``.  A user-set
+    ``JAX_COMPILATION_CACHE_DIR`` always wins.
+    """
+    if _os.environ.get("LIMAP_TPU_COMPILATION_CACHE", "1") == "0":
+        return
+    import jax
+
+    path = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "limap_tpu_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # older jax without the option: run uncached
+        pass
+
+
+_enable_persistent_compilation_cache()
+
+from limap_tpu import base  # noqa: F401,E402

@@ -305,8 +305,12 @@ class CameraViewsBatch(NamedTuple):
         return K.reshape(K.shape[:-1] + (3, 3))
 
     def center(self) -> jnp.ndarray:
-        R = self.R()
-        return -jnp.einsum("...ji,...j->...i", R, self.tvec)
+        # -R^T t via the conjugate quaternion: forming batched 3x3
+        # rotation matrices makes XLA pad tiny dot_generals onto the MXU
+        qc = quat_normalize(self.qvec
+                            * jnp.asarray([1.0, -1, -1, -1],
+                                          self.qvec.dtype))
+        return quat_rotate(qc, -self.tvec)
 
     def projdepth(self, p3d: jnp.ndarray) -> jnp.ndarray:
         return (quat_rotate(self.qvec, p3d) + self.tvec)[..., 2]

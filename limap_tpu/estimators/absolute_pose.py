@@ -411,19 +411,30 @@ def pl_estimate_absolute_pose(cfg: dict, l3ds, l3d_ids, l2ds, p3ds, p2ds,
         consider(pose_h, ept2, eln2)
         if not ransac_cfg.final_least_squares:
             continue
-        # base inliers at the relaxed (multiplied) threshold
-        pt_base = ept2 <= th_pt2 * kmult
-        ln_base = eln2 <= th_ln2 * kmult
-        n_base = int(pt_base.sum() + ln_base.sum())
-        if n_base < 3:
+        # initial fit on the relaxed (multiplied) threshold inliers
+        # (LocalOptimization / LeastSquaresFit,
+        # pl_absolute_pose_hybrid_ransac.h:455-459)
+        pt_rel = ept2 <= th_pt2 * kmult
+        ln_rel = eln2 <= th_ln2 * kmult
+        if int(pt_rel.sum() + ln_rel.sum()) < 3:
             continue
-        # initial fit on the relaxed inliers (LocalOptimization:507-513)
-        pose_c, e_pt2, e_ln2 = lsq_fit(pose_h, pt_base, ln_base)
+        pose_c, e_pt2, e_ln2 = lsq_fit(pose_h, pt_rel, ln_rel)
         if e_pt2 is None:
             continue
         consider(pose_c, e_pt2, e_ln2)
-        # LO restarts from random subsets of the base inliers
-        n_sub = max(21, n_base // 2)  # min_sample(3) x multiplicator(7)
+        # restart pool = inliers of the refit model at the BASE
+        # thresholds (GetInliers, pl_absolute_pose_hybrid_ransac.h:468-470)
+        pt_base = e_pt2 <= th_pt2
+        ln_base = e_ln2 <= th_ln2
+        n_base = int(pt_base.sum() + ln_base.sum())
+        if n_base < 3:
+            continue
+        # LO restarts from random subsets of the base inliers:
+        # max(non_minimal_sample_size=6, min(min_sample(3) x
+        # non_min_sample_multiplier(3), n/2))
+        # (pl_absolute_pose_hybrid_ransac.h:481-487,
+        # joint_pose_estimator.h:51, extended_hybrid_ransac.h:11)
+        n_sub = max(6, min(9, n_base // 2))
         for _lo in range(2):
             pt_sub, ln_sub = pt_base.copy(), ln_base.copy()
             if n_base > n_sub:

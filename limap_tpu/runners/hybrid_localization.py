@@ -104,10 +104,37 @@ def reprojection_filter_matches_2to3(
     return matches
 
 
-def get_hloc_keypoints_from_log(*args, **kwargs):
-    raise NotImplementedError(
-        "hloc integration is external; pass point_corresp directly to "
-        "hybrid_localization as {query_id: (p3ds, p2ds)}")
+def _point3d_xyz(ref_sfm, pid):
+    """xyz of a 3D point from a pycolmap-style Reconstruction or a plain
+    {id: xyz} mapping."""
+    pts = getattr(ref_sfm, "points3D", ref_sfm)
+    p = pts[pid]
+    return np.asarray(getattr(p, "xyz", p), np.float64)
+
+
+def get_hloc_keypoints_from_log(logs, query_img_name, ref_sfm=None,
+                                resize_scales=None):
+    """Extract 2D-3D point correspondences from an hloc localization log
+    (runners/hybrid_localization.py:74-92).
+
+    ``logs`` is the dict hloc pickles per run: ``logs["loc"][name]`` has
+    ``keypoints_query`` plus either ``3d_points`` (InLoc-style, when
+    ``ref_sfm`` is None) or ``points3D_ids`` resolved against
+    ``ref_sfm`` (a pycolmap Reconstruction or any {id: xyz} mapping).
+    Returns (p2ds [N, 2], p3ds [N, 3], inlier_mask).
+    """
+    entry = logs["loc"][query_img_name]
+    p2ds = np.asarray(entry["keypoints_query"], np.float64)
+    if ref_sfm is None:  # inloc
+        p3ds = np.asarray(entry["3d_points"], np.float64)
+    else:
+        p3ds = np.asarray([_point3d_xyz(ref_sfm, j)
+                           for j in entry["points3D_ids"]], np.float64)
+    inliers = np.asarray(entry["PnP_ret"]["inlier_mask"])
+    if resize_scales is not None and query_img_name in resize_scales:
+        scale = resize_scales[query_img_name]
+        p2ds = (p2ds + 0.5) * scale - 0.5
+    return p2ds, p3ds, inliers
 
 
 def hybrid_localization(cfg: dict, imagecols_db, imagecols_query,

@@ -24,16 +24,29 @@ _BIN = os.path.join(_HERE, "..", "cpp", "ref_engine")
 
 
 def build(verbose: bool = False) -> str:
-    """Compile the baseline engine (g++ -O3 -fopenmp); cached by mtime."""
+    """Compile the baseline engine (g++ -O3 -fopenmp).
+
+    Cached by a content hash of the source (stored next to the binary),
+    never by mtime: a checked-out or copied stale binary would otherwise
+    be accepted and silently skew the benchmark baseline."""
+    import hashlib
+
     src = os.path.abspath(_SRC)
     out = os.path.abspath(_BIN)
-    if os.path.exists(out) and os.path.getmtime(out) > os.path.getmtime(src):
-        return out
+    stamp = out + ".srchash"
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()
+    if os.path.exists(out) and os.path.exists(stamp):
+        with open(stamp) as f:
+            if f.read().strip() == digest:
+                return out
     cmd = [os.environ.get("CXX", "g++"), "-O3", "-march=native", "-fopenmp",
            "-std=c++17", src, "-o", out]
     if verbose:
         print(" ".join(cmd))
     subprocess.run(cmd, check=True, capture_output=not verbose)
+    with open(stamp, "w") as f:
+        f.write(digest)
     return out
 
 

@@ -117,6 +117,35 @@ def compute_fundamental_matrix(view1: CameraViewsBatch,
     return jnp.swapaxes(K2i, -1, -2) @ E @ K1i
 
 
+def epipolar_line(view1: CameraViewsBatch, view2: CameraViewsBatch,
+                  p1: jnp.ndarray) -> jnp.ndarray:
+    """``F @ [p1; 1]`` computed matrix-free.
+
+    Forming F as batched 3x3 matrices makes XLA emit tiny padded-MXU
+    dot_generals plus layout copies that dominate the proposal kernel
+    (~50 ms/scene profiled in-env); the chain
+    ``K2^-T [t_rel]x R2 R1^T K1^-1`` applied to a vector is pure
+    elementwise math + two quaternion rotations + one cross product.
+    """
+    from limap_tpu.base.pose import quat_normalize, quat_rotate
+
+    u = (p1[..., 0] - view1.kvec[..., 2]) / view1.kvec[..., 0]
+    v = (p1[..., 1] - view1.kvec[..., 3]) / view1.kvec[..., 1]
+    x1 = jnp.stack([u, v, jnp.ones_like(u)], axis=-1)       # K1^-1 p1
+    q1c = quat_normalize(view1.qvec
+                         * jnp.asarray([1.0, -1, -1, -1],
+                                       view1.qvec.dtype))
+    rx = quat_rotate(view2.qvec, quat_rotate(q1c, x1))      # R_rel x1
+    rt = quat_rotate(view2.qvec, quat_rotate(q1c, view1.tvec))
+    t_rel = view2.tvec - rt
+    ex = jnp.cross(t_rel, rx)                               # E x1
+    fx2, fy2 = view2.kvec[..., 0], view2.kvec[..., 1]
+    cx2, cy2 = view2.kvec[..., 2], view2.kvec[..., 3]
+    return jnp.stack([ex[..., 0] / fx2, ex[..., 1] / fy2,
+                      ex[..., 2] - (cx2 / fx2) * ex[..., 0]
+                      - (cy2 / fy2) * ex[..., 1]], axis=-1)  # K2^-T E x1
+
+
 def compute_epipolar_iou(l1: Segments, view1: CameraViewsBatch,
                          l2: Segments, view2: CameraViewsBatch,
                          F: jnp.ndarray = None) -> jnp.ndarray:
@@ -125,13 +154,14 @@ def compute_epipolar_iou(l1: Segments, view1: CameraViewsBatch,
     Pass a precomputed fundamental matrix ``F`` to amortize it across all
     matches of an image pair (the reference recomputes it per call).
     """
-    if F is None:
-        F = compute_fundamental_matrix(view1, view2)
     coor_l2 = l2.coords()
 
     def intersect_at(p):
-        ph = jnp.concatenate([p, jnp.ones_like(p[..., :1])], axis=-1)
-        epline = _norm(jnp.einsum("...ij,...j->...i", F, ph))
+        if F is None:
+            epline = _norm(epipolar_line(view1, view2, p))
+        else:
+            ph = jnp.concatenate([p, jnp.ones_like(p[..., :1])], axis=-1)
+            epline = _norm(jnp.einsum("...ij,...j->...i", F, ph))
         c_homo = jnp.cross(coor_l2, epline)
         return c_homo[..., :2] / (c_homo[..., 2:3] + EPS)
 
