@@ -47,9 +47,14 @@ def _enable_persistent_compilation_cache() -> None:
         return
     import jax
 
+    # one cache per backend selection: AOT results compiled for another
+    # machine's CPU features would otherwise be loaded (and can SIGILL)
+    suffix = _os.environ.get("JAX_PLATFORMS", "default").replace(",", "_") \
+        or "default"
     path = _os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
-        _os.path.join(_os.path.expanduser("~"), ".cache", "limap_tpu_xla"))
+        _os.path.join(_os.path.expanduser("~"), ".cache",
+                      f"limap_tpu_xla_{suffix}"))
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

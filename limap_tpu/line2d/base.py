@@ -205,7 +205,9 @@ def get_detector(cfg_detector: dict, max_num_2d_segs: int = 3000,
                  do_merge_lines: bool = False, visualize: bool = False,
                  weight_path=None) -> BaseDetector:
     """register_detector.py:4 equivalent."""
-    import limap_tpu.line2d.lsd  # noqa: F401  (registers)
+    import limap_tpu.line2d.deeplsd  # noqa: F401  (registers)
+    import limap_tpu.line2d.lsd  # noqa: F401
+    import limap_tpu.line2d.sold2  # noqa: F401
     import limap_tpu.line2d.tpu_lsd  # noqa: F401
     import limap_tpu.line2d.endpoints  # noqa: F401
     method = cfg_detector["method"]
@@ -220,6 +222,7 @@ def get_detector(cfg_detector: dict, max_num_2d_segs: int = 3000,
 def get_extractor(cfg_extractor: dict, weight_path=None) -> BaseDetector:
     import limap_tpu.line2d.endpoints  # noqa: F401
     import limap_tpu.line2d.lsd  # noqa: F401
+    import limap_tpu.line2d.sold2  # noqa: F401
     import limap_tpu.line2d.tpu_lsd  # noqa: F401
     method = cfg_extractor["method"]
     if method not in EXTRACTOR_REGISTRY:
@@ -232,6 +235,7 @@ def get_extractor(cfg_extractor: dict, weight_path=None) -> BaseDetector:
 def get_matcher(cfg_matcher: dict, extractor: BaseDetector,
                 n_neighbors: int = 20, weight_path=None) -> BaseMatcher:
     import limap_tpu.line2d.endpoints  # noqa: F401
+    import limap_tpu.line2d.sold2  # noqa: F401
     method = cfg_matcher["method"]
     if method not in MATCHER_REGISTRY:
         raise NotImplementedError(f"unknown matcher {method!r}")

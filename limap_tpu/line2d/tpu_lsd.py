@@ -85,14 +85,24 @@ def _detect_kernel(img: jnp.ndarray, n_bins: int, max_segs: int,
                    cc_rounds: int, min_size: int,
                    grad_th: float, max_width: float, min_density: float):
     """img [H, W] float in [0, 1] -> segs [max_segs, 5], count."""
-    H, W = img.shape
     gx, gy = _sobel(img)
     mag = jnp.sqrt(gx * gx + gy * gy)
     # level-line angle (perpendicular to gradient), mod pi
     theta = jnp.arctan2(gy, gx) + jnp.pi / 2.0
     theta = jnp.mod(theta, jnp.pi)
+    return detect_from_fields(mag, theta, mag > grad_th, n_bins, max_segs,
+                              cc_rounds, min_size, max_width, min_density)
 
-    on = mag > grad_th
+
+def detect_from_fields(mag: jnp.ndarray, theta: jnp.ndarray,
+                       on: jnp.ndarray, n_bins: int, max_segs: int,
+                       cc_rounds: int, min_size: int,
+                       max_width: float, min_density: float):
+    """Segment extraction from an arbitrary (magnitude, level-line
+    angle, support mask) field triple — shared by the raw-gradient LSD
+    above and learned attraction fields (DeepLSD-style detectors feed
+    exp(-df) as magnitude and their angle field as theta)."""
+    H, W = mag.shape
     ys = jnp.arange(H, dtype=jnp.float32)[:, None]
     xs = jnp.arange(W, dtype=jnp.float32)[None, :]
     ymat = jnp.broadcast_to(ys, (H, W))

@@ -64,6 +64,9 @@ class GlobalAssociatorConfig:
     constant_vp: bool = False
     n_bcd_rounds: int = 3
     lm_iterations: int = 10
+    # junction reassociation (global_associator.h:44-45)
+    th_count_lineline: int = 3
+    th_angle_lineline: float = 30.0
 
     @classmethod
     def from_dict(cls, d: Optional[dict]) -> "GlobalAssociatorConfig":
@@ -271,15 +274,28 @@ class GlobalAssociator:
 
     def _solve_vps(self, vps, line_params, line_vp_idx, line_vp_w,
                    lv_pairs):
-        """Closed-form-ish VP update: each VP direction re-estimated as
-        the weighted principal direction of its associated lines, then
-        nudged toward orthogonality with near-orthogonal peers."""
+        """VP update in two stages:
+
+        1. weighted principal direction of each VP's associated lines
+           (the dominant vp-line association term);
+        2. a few joint Gauss-Newton steps over ALL VPs coupling the
+           vp-line sine residuals with the VP-pair structural
+           residuals of the reference (global_associator.cc:265-305):
+           |cosine| between near-orthogonal pairs
+           (VPOrthogonalityFunctor, weight 1e2 * lw_vp_orthogonality)
+           and sine between near-collinear pairs
+           (VPCollinearityFunctor, weight 1e2 * lw_vp_collinearity),
+           with pair sets built from the current estimates at the
+           configured angle thresholds; directions re-normalized after
+           every step (SphereManifold<3>).
+        """
         cfg = self.cfg
         V = vps.shape[0]
         lines = unpack_minimal_lines(line_params)
         d, _ = minimal_to_plucker(lines.uvec, lines.wvec)
         d_np = np.asarray(d)
         vps_np = np.array(vps)
+        # stage 1: principal directions
         for v in range(V):
             members = [l for (l, vv) in lv_pairs if vv == v]
             if not members:
@@ -292,7 +308,164 @@ class GlobalAssociator:
             n = np.linalg.norm(new)
             if n > 1e-9:
                 vps_np[v] = new / n
+
+        # stage 2: joint GN with pair constraints
+        pairs_orth, pairs_coll = self._vp_pairs(vps_np)
+        if (len(pairs_orth) and cfg.lw_vp_orthogonality > 0) or \
+                (len(pairs_coll) and cfg.lw_vp_collinearity > 0):
+            vps_np = self._vp_pair_refine(vps_np, d_np, lv_pairs,
+                                          pairs_orth, pairs_coll)
         return jnp.asarray(vps_np)
+
+    def _vp_pairs(self, vps_np):
+        """Pair sets at the reference thresholds
+        (construct_pairs_vp_orthogonality/_collinearity,
+        global_associator.cc:453+)."""
+        cfg = self.cfg
+        V = len(vps_np)
+        orth, coll = [], []
+        for i in range(V):
+            for j in range(i + 1, V):
+                c = abs(float(np.dot(vps_np[i], vps_np[j])))
+                ang = np.degrees(np.arccos(min(c, 1.0)))
+                if ang >= cfg.th_angle_orthogonality:
+                    orth.append((i, j))
+                if ang <= cfg.th_angle_collinearity:
+                    coll.append((i, j))
+        return orth, coll
+
+    def _vp_pair_refine(self, vps_np, d_np, lv_pairs, pairs_orth,
+                        pairs_coll, n_steps: int = 5):
+        """Small dense GN over the stacked VP directions."""
+        cfg = self.cfg
+        V = len(vps_np)
+        members = [[l for (l, vv) in lv_pairs if vv == v]
+                   for v in range(V)]
+        mem_w = [np.asarray([lv_pairs[(l, v)] for l in ms])
+                 for v, ms in enumerate(members)]
+        po = np.asarray(pairs_orth, np.int64).reshape(-1, 2)
+        pc = np.asarray(pairs_coll, np.int64).reshape(-1, 2)
+        w_orth = 10.0 * np.sqrt(max(cfg.lw_vp_orthogonality, 0.0))
+        w_coll = 10.0 * np.sqrt(max(cfg.lw_vp_collinearity, 0.0))
+
+        def residuals(x):
+            out = []
+            for v in range(V):
+                if len(members[v]) == 0:
+                    continue
+                dirs = d_np[members[v]]
+                cr = np.cross(np.broadcast_to(x[v], dirs.shape), dirs)
+                sine = np.linalg.norm(cr, axis=-1)
+                out.append(sine * np.sqrt(cfg.lw_vpline_association
+                                          * mem_w[v]))
+            if len(po):
+                out.append(w_orth * np.abs(
+                    np.sum(x[po[:, 0]] * x[po[:, 1]], axis=-1)))
+            if len(pc):
+                cr = np.cross(x[pc[:, 0]], x[pc[:, 1]])
+                out.append(w_coll * np.linalg.norm(cr, axis=-1))
+            return np.concatenate(out) if out else np.zeros(0)
+
+        x = vps_np.astype(np.float64).copy()
+        for _ in range(n_steps):
+            r0 = residuals(x)
+            if len(r0) == 0:
+                break
+            # numeric Jacobian (V*3 tiny)
+            J = np.zeros((len(r0), V * 3))
+            eps = 1e-6
+            for k in range(V * 3):
+                xp = x.copy().reshape(-1)
+                xp[k] += eps
+                J[:, k] = (residuals(xp.reshape(V, 3)) - r0) / eps
+            A = J.T @ J + 1e-8 * np.eye(V * 3)
+            delta = -np.linalg.solve(A, J.T @ r0)
+            x = x + delta.reshape(V, 3)
+            x = x / np.linalg.norm(x, axis=-1, keepdims=True)
+        return x.astype(np.float32)
+
+    # ----------------------------------------- junction reassociation
+    def reassociate_junctions(self, all_bpt2ds, line_track_of_2d,
+                              linetracks):
+        """Create 3D junction point tracks where >= th_count_lineline
+        2D junction points connect the same pair of (sufficiently
+        non-parallel) line tracks, and associate them to both tracks
+        (ReassociateJunctions, global_associator.cc:42-174).
+
+        all_bpt2ds: {img_id: PL_Bipartite2d}; line_track_of_2d:
+        {img_id: {line2d_id: track_id}}; linetracks: list of LineTrack
+        (3D lines used for the junction midpoint).
+        Returns (new_point_tracks, new_pl_weights) — the caller appends
+        the tracks and merges the weights before solve().
+        """
+        cfg = self.cfg
+        # count (track1, track2) -> [(img_id, point2d_id)]
+        counter: Dict[Tuple[int, int], list] = {}
+        for img_id, bpt in all_bpt2ds.items():
+            lmap = line_track_of_2d.get(img_id, {})
+            for p2d_id in bpt.get_point_ids():
+                if bpt.pdegree(p2d_id) <= 1:
+                    continue
+                l2d_ids = [lid for lid in bpt.neighbor_lines(p2d_id)
+                           if lmap.get(lid, -1) >= 0]
+                for i in range(len(l2d_ids) - 1):
+                    t1 = lmap[l2d_ids[i]]
+                    seg1 = np.asarray(bpt.line(l2d_ids[i]), np.float64)
+                    d1 = seg1[2:4] - seg1[:2]
+                    d1 = d1 / (np.linalg.norm(d1) + 1e-12)
+                    for j in range(i + 1, len(l2d_ids)):
+                        t2 = lmap[l2d_ids[j]]
+                        if t1 == t2:
+                            continue
+                        seg2 = np.asarray(bpt.line(l2d_ids[j]),
+                                          np.float64)
+                        d2 = seg2[2:4] - seg2[:2]
+                        d2 = d2 / (np.linalg.norm(d2) + 1e-12)
+                        cos2d = min(abs(float(d1 @ d2)), 1.0)
+                        if np.degrees(np.arccos(cos2d)) \
+                                < cfg.th_angle_lineline:
+                            continue
+                        key = (min(t1, t2), max(t1, t2))
+                        counter.setdefault(key, []).append(
+                            (img_id, p2d_id))
+
+        new_tracks = []
+        new_weights: Dict[Tuple[int, int], float] = {}
+        base_pid = self.points.shape[0]
+        for (t1, t2), obs in counter.items():
+            if len(obs) < cfg.th_count_lineline:
+                continue
+            line1 = np.asarray(linetracks[t1].line, np.float64)
+            line2 = np.asarray(linetracks[t2].line, np.float64)
+            d1 = line1[1] - line1[0]
+            d1 = d1 / (np.linalg.norm(d1) + 1e-12)
+            d2 = line2[1] - line2[0]
+            d2 = d2 / (np.linalg.norm(d2) + 1e-12)
+            ip = float(d1 @ d2)
+            cos3d = min(abs(ip), 1.0)
+            if np.degrees(np.arccos(cos3d)) < cfg.th_angle_lineline:
+                continue
+            # closest-approach midpoint of the two infinite 3D lines
+            # (global_associator.cc:145-153)
+            A = np.array([[1.0, -ip], [-ip, 1.0]])
+            b = np.array([float(d1 @ (line2[0] - line1[0])),
+                          float(d2 @ (line1[0] - line2[0]))])
+            st = np.linalg.solve(A, b)
+            point = 0.5 * (line1[0] + st[0] * d1
+                           + line2[0] + st[1] * d2)
+            pid = base_pid + len(new_tracks)
+            img_ids = [o[0] for o in obs]
+            p2d_ids = [o[1] for o in obs]
+            p2ds = [np.asarray(all_bpt2ds[i].point(p).p)
+                    for (i, p) in obs]
+            new_tracks.append(PointTrack(point, img_ids, p2d_ids, p2ds))
+            # update the 2D bipartites' 3D assignment
+            for (i, p) in obs:
+                pt2d = all_bpt2ds[i].point(p)
+                pt2d.point3D_id = pid
+            new_weights[(pid, t1)] = float(len(obs))
+            new_weights[(pid, t2)] = float(len(obs))
+        return new_tracks, new_weights
 
     # ----------------------------------------------------------- output
     def get_output_lines(self, num_outliers: int = 2) -> TrackBatch:

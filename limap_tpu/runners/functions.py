@@ -61,15 +61,25 @@ def undistort_images(imagecols, output_dir: str, skip_exists: bool = False,
 
 
 def compute_sfminfos(cfg: dict, imagecols, points3d: Optional[dict] = None,
+                     images: Optional[dict] = None,
                      fname: str = "metainfos.txt"):
     """Visual neighbors + robust ranges (runners/functions.py:147-194).
 
-    Unlike the reference (which shells out to hloc+COLMAP), the point
-    model is supplied directly: ``points3d`` = {pid: {xyz, image_ids}}.
-    When absent, falls back to pose-proximity neighbors and pose-derived
-    ranges so RGB-only pipelines still run end-to-end.
+    The point model can be (a) supplied directly (``points3d`` =
+    {pid: {xyz, image_ids}}), (b) triangulated in-process from
+    ``images`` against the known poses
+    (pointsfm.sfm.run_sfm_with_known_poses — the counterpart of the
+    reference's hloc+COLMAP shell-out, colmap_sfm.py:20-128), or (c)
+    absent, in which case neighbors fall back to pose proximity and
+    ranges to pose extents so RGB-only pipelines still run.
     """
     if not cfg.get("load_meta", False):
+        if points3d is None and images is not None:
+            from limap_tpu.pointsfm.sfm import run_sfm_with_known_poses
+            points3d = run_sfm_with_known_poses(
+                imagecols, images=images,
+                n_neighbors=cfg.get("n_neighbors", 20),
+                weight_path=cfg.get("weight_path"))
         if points3d:
             model = SfmModel.from_imagecols_and_points(imagecols, points3d)
             neighbors, ranges = compute_metainfos(

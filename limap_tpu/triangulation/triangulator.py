@@ -370,13 +370,58 @@ class GlobalLineTriangulator:
                 axis=1).reshape(G, L, T + 1)
             return floats, ints
 
-        return jax.jit(run)
+        return run
 
     def _get_bucket_kernel(self, K: int, T: int):
         key = ("bucket", K, T)
         if key not in self._compiled:
-            self._compiled[key] = self._bucket_kernel(K, T)
+            self._compiled[key] = jax.jit(self._bucket_kernel(K, T))
         return self._compiled[key]
+
+    def triangulate_all_mesh(self, matches_by_image, mesh,
+                             axis: str = "img") -> None:
+        """Data-parallel triangulation over a ``jax.sharding.Mesh``:
+        images are sharded across devices (each device triangulates +
+        scores its shard with zero communication — the stage is
+        embarrassingly parallel until clustering, SURVEY §2.3).  The
+        mesh must have a single axis named ``axis``."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        rows, matches_list = [], []
+        for img_id in self.img_ids:
+            m = matches_by_image.get(img_id)
+            if m is None:
+                continue
+            rows.append(self.id2idx[img_id])
+            matches_list.append(m)
+        if not rows:
+            return
+        buf, K, Tc, overflow = self._bucket_arrays(rows, matches_list)
+        self.overflow_edges = overflow
+        n = len(rows)
+        d = int(np.prod([mesh.shape[a] for a in mesh.shape]))
+        pad_n = (-n) % d
+        if pad_n:
+            buf = np.concatenate([buf, np.repeat(buf[-1:], pad_n, 0)])
+        run = self._bucket_kernel(K, Tc)
+        lo = self.ranges[0] if self.ranges is not None else None
+        hi = self.ranges[1] if self.ranges is not None else None
+        views, l2d, lok = self.views, self.lines2d, self.line_ok
+        vp = self.vpresults
+
+        def shard_fn(buf2d):
+            return run(views.kvec, views.qvec, views.tvec, l2d.start,
+                       l2d.end, lok, buf2d.reshape(-1), vp, lo, hi)
+
+        sharded = jax.jit(shard_map(
+            shard_fn, mesh=mesh, in_specs=P(axis),
+            out_specs=(P(axis), P(axis)), check_vma=False))
+        floats, ints = sharded(jnp.asarray(buf))
+        self._dev_results = (rows, [(list(range(n)), floats[:n],
+                                     ints[:n])], Tc)
+        self._host_synced = False
+        jax.block_until_ready(floats)
 
     def _bucket_arrays(self, rows: List[int], matches_list: List[dict]):
         """Host-side bucketing: per-line candidate edges, slot-major

@@ -1,0 +1,107 @@
+"""Cross-view feature-consistency refinement: geometric-only converges
+to biased 2D observations; fconsis terms anchored on feature ridges at
+the TRUE projections pull the 3D line back (VERDICT r2 item 6; reference
+pixel_cost_functions.h FeatureConsisTgtFunctor)."""
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+import tests.conftest  # noqa: F401
+
+from limap_tpu.base import CameraViewsBatch, Segments
+from limap_tpu.base import line_geometry as lg
+from limap_tpu.base.camera import Camera, CameraPose, CameraView
+from limap_tpu.base.linetrack import LineTrack, tracks_to_batch
+from limap_tpu.optimize.line_refinement import (RefinementConfig,
+                                                build_fconsis_terms,
+                                                solve_line_refinement)
+
+
+def _scene(rng, n_views=4, bias_px=3.0):
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    views = []
+    for k in range(n_views):
+        R = Rotation.from_rotvec(rng.normal(size=3) * 0.06).as_matrix()
+        t = np.array([0.7 * k, 0.05 * k, 0.01 * k])
+        views.append(CameraView(Camera(K=K, hw=(480, 640)),
+                                CameraPose(R=R, tvec=t)))
+    vb = CameraViewsBatch.from_views(views)
+
+    gt_s = np.array([-1.0, 0.2, 8.0], np.float32)
+    gt_e = np.array([1.2, -0.1, 8.5], np.float32)
+    seg = Segments(jnp.asarray(gt_s)[None].repeat(n_views, 0),
+                   jnp.asarray(gt_e)[None].repeat(n_views, 0))
+    l2d = lg.project_segments(seg, vb)
+    l2s_true = np.asarray(l2d.start)
+    l2e_true = np.asarray(l2d.end)
+
+    # biased 2D observations: shift each view's segment perpendicular
+    # by bias_px — geometric-only refinement converges to this bias
+    l2s = l2s_true.copy()
+    l2e = l2e_true.copy()
+    for v in range(n_views):
+        d = l2e_true[v] - l2s_true[v]
+        d = d / (np.linalg.norm(d) + 1e-9)
+        perp = np.array([-d[1], d[0]])
+        l2s[v] += perp * bias_px
+        l2e[v] += perp * bias_px
+
+    track = LineTrack(
+        line=np.stack([gt_s, gt_e]),
+        image_id_list=list(range(n_views)),
+        line_id_list=[0] * n_views,
+        line2d_list=[np.stack([l2s[v], l2e[v]]) for v in range(n_views)],
+        line3d_list=[np.stack([gt_s, gt_e])] * n_views,
+        score_list=[1.0] * n_views,
+    )
+
+    # feature maps: C=2, a smooth ridge function of the distance to the
+    # TRUE projected line, with view-dependent scaling so cross-view
+    # consistency holds only ON the true line
+    H, W = 480, 640
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    featuremaps = {}
+    for v in range(n_views):
+        p0, p1 = l2s_true[v], l2e_true[v]
+        d = p1 - p0
+        d = d / (np.linalg.norm(d) + 1e-9)
+        dist = np.abs((xx - p0[0]) * (-d[1]) + (yy - p0[1]) * d[0])
+        f0 = (v + 1.0) * np.tanh(dist / 4.0)
+        f1 = 0.5 * (v + 2.0) * np.tanh(dist / 6.0)
+        featuremaps[v] = np.stack([f0, f1], axis=-1).astype(np.float32)
+
+    return track, vb, featuremaps, (gt_s, gt_e)
+
+
+def _err(batch, gt):
+    out = np.stack([np.asarray(batch.line.start)[0],
+                    np.asarray(batch.line.end)[0]])
+    return float(np.abs(out - np.stack(gt)).max())
+
+
+def test_fconsis_improves_over_geometric_only(rng):
+    track, vb, featuremaps, gt = _scene(rng)
+    id2idx = {i: i for i in range(4)}
+    batch = tracks_to_batch([track], id2idx)
+
+    # geometric-only: plateaus at the biased solution
+    cfg_g = RefinementConfig(loss="trivial")
+    lines_g, _ = solve_line_refinement(batch, vb, cfg_g,
+                                       num_iterations=20)
+    from limap_tpu.optimize.line_ba import get_output_tracks
+    out_g = get_output_tracks(batch, vb, lines_g, num_outliers=0)
+    err_g = _err(out_g, gt)
+    assert err_g > 0.01, "bias should survive geometric-only refinement"
+
+    # + fconsis: ridges at the true projections pull the line back
+    fdata = build_fconsis_terms(batch, vb, featuremaps, id2idx,
+                                n_samples=8, patch_radius=12)
+    cfg_f = RefinementConfig(loss="trivial", use_feature=True,
+                             fconsis_multiplier=50.0)
+    lines_f, _ = solve_line_refinement(batch, vb, cfg_f,
+                                       fconsis_data=fdata,
+                                       num_iterations=20)
+    out_f = get_output_tracks(batch, vb, lines_f, num_outliers=0)
+    err_f = _err(out_f, gt)
+    assert err_f < err_g * 0.6, (err_g, err_f)

@@ -1,0 +1,162 @@
+"""SOLD2 port tests: numeric parity of the JAX forward against the
+reference's in-tree torch implementation (random weights), weight
+mapping, detection post-processing, and the real-image smoke run."""
+
+import sys
+
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401  (forces CPU backend)
+
+
+def _load_torch_sold2():
+    """Instantiate the reference torch SOLD2Net (random init)."""
+    torch = pytest.importorskip("torch")
+    # the reference model module imports pycolmap only for logging
+    if "pycolmap" not in sys.modules:
+        import types
+
+        stub = types.ModuleType("pycolmap")
+
+        class _Log:
+            def info(self, *a, **k):
+                pass
+
+            def debug(self, *a, **k):
+                pass
+
+        stub.logging = _Log()
+        sys.modules["pycolmap"] = stub
+    sys.path.insert(0, "/root/reference/src/limap/line2d/SOLD2")
+    from model.model_util import get_model
+
+    model_cfg = {
+        "model_name": "lcnn_simple",
+        "model_architecture": "simple",
+        "backbone": "lcnn",
+        "backbone_cfg": {"input_channel": 1, "depth": 4, "num_stacks": 2,
+                         "num_blocks": 1, "num_classes": 5},
+        "junction_decoder": "superpoint_decoder",
+        "junc_decoder_cfg": {},
+        "heatmap_decoder": "pixel_shuffle",
+        "heatmap_decoder_cfg": {},
+        "descriptor_decoder": "superpoint_descriptor",
+        "descriptor_decoder_cfg": {},
+        "grid_size": 8,
+        "keep_border_valid": True,
+        "detection_thresh": 0.0153846,
+        "max_num_junctions": 300,
+        "prob_thresh": 0.5,
+        "weighting_policy": "static",
+    }
+    model = get_model(model_cfg, mode="test")
+    model.eval()
+    return torch, model
+
+
+def test_forward_parity_with_torch():
+    """Same random weights -> same outputs as the reference torch net.
+
+    Random (unnormalized) weights amplify rounding, and the default
+    JAX conv precision is reduced-precision on accelerator-style
+    backends, so the comparison pins matmul precision to highest."""
+    import jax
+
+    torch, model = _load_torch_sold2()
+    from limap_tpu.line2d.sold2 import nets
+
+    nets.set_conv_precision(jax.lax.Precision.HIGHEST)
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = nets.load_torch_state_dict(sd)
+
+    rng = np.random.default_rng(0)
+    img = rng.random((1, 64, 80, 1), np.float32)
+    with torch.no_grad():
+        out_t = model(torch.tensor(img.transpose(0, 3, 1, 2)))
+    out_j = nets.sold2_forward(params, img)
+
+    for key, tkey in (("junctions", "junctions"), ("heatmap", "heatmap"),
+                      ("descriptors", "descriptors")):
+        a = np.asarray(out_j[key])
+        b = out_t[tkey].numpy().transpose(0, 2, 3, 1)
+        assert a.shape == b.shape, (key, a.shape, b.shape)
+        scale = np.abs(b).max() + 1e-9
+        rel = np.abs(a - b).max() / scale
+        assert rel < 2e-3, (key, rel)
+    nets.set_conv_precision(None)
+
+
+def test_weight_spec_matches_torch_state_dict():
+    """Our spec covers the torch state dict exactly (minus counters)."""
+    _, model = _load_torch_sold2()
+    from limap_tpu.line2d.sold2 import nets
+
+    torch_keys = {k for k in model.state_dict()
+                  if not k.endswith("num_batches_tracked")}
+    spec_keys = {k for k, _ in nets._spec()}
+    assert spec_keys == torch_keys, (
+        sorted(spec_keys - torch_keys)[:5],
+        sorted(torch_keys - spec_keys)[:5])
+
+
+def test_detection_postprocessing_synthetic():
+    """Junction NMS + line detection recover a synthetic segment."""
+    from limap_tpu.line2d.sold2.detection import (
+        LineSegmentDetector, junctions_from_predictions)
+
+    H, W = 64, 64
+    # heatmap with a bright line from (10, 10) to (50, 40)
+    heatmap = np.zeros((H, W), np.float32)
+    n = 200
+    ts = np.linspace(0, 1, n)
+    ys = (10 + 40 * ts).astype(int)
+    xs = (10 + 30 * ts).astype(int)
+    heatmap[ys, xs] = 1.0
+    heatmap[ys + 1, xs] = 0.8
+    junctions = np.asarray([[10, 10], [50, 40], [30, 55]], np.float32)
+
+    det = LineSegmentDetector(detect_thresh=0.5, num_samples=32,
+                              use_heatmap_refinement=False,
+                              use_junction_refinement=False)
+    segments = det.detect(junctions, heatmap)
+    assert len(segments) == 1
+    seg = np.sort(segments[0].reshape(2, 2), axis=0)
+    assert np.allclose(seg, [[10, 10], [50, 40]], atol=1.0)
+
+    # junction map conversion: peak at the planted cell
+    rng = np.random.default_rng(0)
+    logits = rng.normal(0, 0.05, (1, H // 8, W // 8, 65)).astype(np.float32)
+    logits[0, 2, 3, 9] = 10.0  # cell (2,3), offset 9 -> (y=17, x=25)
+    juncs = junctions_from_predictions(logits, grid_size=8,
+                                       detect_thresh=1 / 65, topk=10)
+    assert [17, 25] in juncs.astype(int).tolist()
+
+
+def test_detector_smoke_on_real_frame():
+    """End-to-end detect() on a real reference frame (random weights:
+    checks shapes/format/determinism, not quality)."""
+    import os
+
+    frame_dir = "/root/reference/runners/tests/data/line2d"
+    frames = [f for f in sorted(os.listdir(frame_dir))
+              if f.endswith((".png", ".jpg"))] if os.path.isdir(frame_dir) \
+        else []
+    if not frames:
+        pytest.skip("no reference frames available")
+    from limap_tpu.line2d.sold2 import SOLD2Detector
+
+    class _View:
+        def read_image(self, set_gray=True):
+            import cv2
+
+            img = cv2.imread(os.path.join(frame_dir, frames[0]),
+                             cv2.IMREAD_GRAYSCALE)
+            return img[:160, :160]
+
+    det = SOLD2Detector(options={"seed": 0})
+    segs = det.detect(_View())
+    assert segs.ndim == 2 and segs.shape[1] == 5
+    segs2 = det.detect(_View())
+    assert np.array_equal(segs, segs2)
