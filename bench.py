@@ -6,8 +6,9 @@ Prints ONE JSON line:
 Metric = mapped frames/s of the core triangulation stage (two-view
 proposal generation + O(tris^2) scoring + best-tri/valid-edge selection
 for every line of every image — the hot path of the flagship pipeline,
-cf. BASELINE.md "mapped frames/s").  Workload: 64 images x 800 lines,
-10 visual neighbors with dense correct matches.
+cf. BASELINE.md "mapped frames/s").  Workload: the reference's protocol
+shape (cfgs/triangulation/default.yaml — 100 images, 20 visual
+neighbors, ~1.5k lines/image with dense correct matches).
 
 ``vs_baseline`` is the speedup over the C++/OpenMP reference-semantics
 engine (limap_tpu/cpp/ref_engine.cpp) running the SAME scene with the
@@ -16,15 +17,26 @@ in-env (FetchContent deps need network); the C++ engine reproduces its
 per-object architecture and its exact track output (validated against
 the f64 oracle in tests/test_ref_engine.py), so its wall-clock is the
 honest stand-in for "CPU reference" per BASELINE.md's >= 5x target.
+When the baseline cannot run, vs_baseline is null (never a fake 1.0).
+
+The unit string carries the per-stage breakdown (host edge bucketing /
+upload / device compute+sync) and a roofline estimate for the scoring
+kernel so regressions are attributable.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
+N_VIEWS = 100
+N_LINES = 1500
+N_NEIGHBORS = 20
+MAX_TRIS = 32
 
-def build_scene(n_views, n_lines, seed=0):
+
+def build_scene(n_views, n_lines, n_neighbors, seed=0):
     import jax
     import jax.numpy as jnp
     from scipy.spatial.transform import Rotation
@@ -57,8 +69,10 @@ def build_scene(n_views, n_lines, seed=0):
     segs = {k: arr[k] for k in range(n_views)}
 
     matches = np.stack([np.arange(n_lines)] * 2, axis=1)
+    half = n_neighbors // 2
     nbrs = {i: {j: matches
-                for j in range(max(0, i - 5), min(n_views, i + 6))
+                for j in range(max(0, i - half),
+                               min(n_views, i + half + 1))
                 if j != i}
             for i in range(n_views)}
     return imagecols, segs, nbrs
@@ -68,7 +82,8 @@ def time_mapping(imagecols, segs, nbrs, repeats=3):
     from limap_tpu.triangulation.triangulator import (GlobalLineTriangulator,
                                                       TriangulatorConfig)
 
-    tri = GlobalLineTriangulator(TriangulatorConfig(max_tris_per_node=32))
+    tri = GlobalLineTriangulator(TriangulatorConfig(
+        max_tris_per_node=MAX_TRIS))
     tri.init(segs, imagecols)
     tri.triangulate_all(nbrs)  # compile
     best = 1e30
@@ -76,20 +91,44 @@ def time_mapping(imagecols, segs, nbrs, repeats=3):
         t0 = time.perf_counter()
         tri.triangulate_all(nbrs)
         best = min(best, time.perf_counter() - t0)
-    return best
+    return best, tri
+
+
+def stage_breakdown(tri, nbrs):
+    """Host bucketing vs (upload + device) split of one mapping pass."""
+    import jax
+    import jax.numpy as jnp
+
+    rows = [tri.id2idx[i] for i in tri.img_ids if i in nbrs]
+    ml = [nbrs[i] for i in tri.img_ids if i in nbrs]
+    t0 = time.perf_counter()
+    buf, K, Tc, _ = tri._bucket_arrays(rows, ml)
+    t_bucket = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    d_buf = jnp.asarray(np.ascontiguousarray(buf).reshape(-1))
+    jax.block_until_ready(d_buf)
+    t_upload = time.perf_counter() - t0
+    return t_bucket, t_upload, Tc, buf.nbytes
 
 
 def main():
     import jax
 
-    n_views, n_lines = 64, 800
     platform = jax.devices()[0].platform
-    imagecols, segs, nbrs = build_scene(n_views, n_lines)
-    t_dev = time_mapping(imagecols, segs, nbrs)
-    frames_per_sec = n_views / t_dev
+    imagecols, segs, nbrs = build_scene(N_VIEWS, N_LINES, N_NEIGHBORS)
+    t_dev, tri = time_mapping(imagecols, segs, nbrs)
+    frames_per_sec = N_VIEWS / t_dev
+    t_bucket, t_upload, Tc, up_bytes = stage_breakdown(tri, nbrs)
+    t_compute = max(t_dev - t_bucket - t_upload, 1e-9)
+
+    # roofline estimate for the dominant scoring stage: active lines x
+    # TT^2 pair evaluations x ~350 flops (17-distance linker + 2D
+    # projection math, counted from the kernel)
+    flops = N_VIEWS * N_LINES * (Tc * Tc) * 350.0
+    gflops = flops / t_compute / 1e9
 
     # C++/OpenMP reference-semantics engine on the same scene + config
-    vs_baseline = 1.0
+    vs_baseline = None
     cpp_rate = None
     try:
         from limap_tpu.testing import ref_engine
@@ -101,20 +140,26 @@ def main():
             pose = imagecols.images[i].pose
             views[i] = (cam.K(), pose.R(), pose.tvec)
         res = ref_engine.run(views, segs, nbrs, repeats=2,
-                             cfg=TriangulatorConfig(max_tris_per_node=32))
-        cpp_rate = n_views / res["triangulate_s"]
-        vs_baseline = frames_per_sec / cpp_rate
-    except Exception:
-        pass
+                             cfg=TriangulatorConfig(
+                                 max_tris_per_node=MAX_TRIS))
+        cpp_rate = N_VIEWS / res["triangulate_s"]
+        vs_baseline = round(frames_per_sec / cpp_rate, 2)
+    except Exception as exc:  # baseline unavailable: report null
+        print(f"baseline engine failed: {exc!r}", file=sys.stderr)
 
+    breakdown = (f"bucket {t_bucket * 1e3:.0f}ms + upload "
+                 f"{t_upload * 1e3:.0f}ms ({up_bytes / 1e6:.1f}MB) + "
+                 f"device {t_compute * 1e3:.0f}ms "
+                 f"(~{gflops:.0f} GFLOP/s scoring, Tc={Tc})")
     print(json.dumps({
         "metric": "line_mapping_frames_per_sec",
         "value": round(frames_per_sec, 2),
-        "unit": f"img/s (L={n_lines}, 10 nbrs, triangulate+score, "
-                f"{platform}; baseline=C++ ref engine"
+        "unit": f"img/s (L={N_LINES}, {N_NEIGHBORS} nbrs, "
+                f"triangulate+score, {platform}; {breakdown}; "
+                "baseline=C++ ref engine"
                 + (f" {cpp_rate:.1f} img/s" if cpp_rate else " unavailable")
                 + ")",
-        "vs_baseline": round(vs_baseline, 2),
+        "vs_baseline": vs_baseline,
     }))
 
 

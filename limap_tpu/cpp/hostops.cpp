@@ -156,9 +156,51 @@ PyObject* pack_supports(PyObject*, PyObject* args) {
   return PyTuple_Pack(2, (PyObject*)index, (PyObject*)mask);
 }
 
+// bucket_scene(key[int64 n], vals[int32 n], n_rows, T)
+//   -> (words int32 [n_rows * T] (-1 padded), overflow int64)
+// Stable counting fill: edge i goes to slot (key, running count) while
+// the running count < T; later edges overflow.  Replaces a per-image
+// numpy argsort+scatter loop (~300 ms at 3M edges -> ~10 ms).
+PyObject* bucket_scene(PyObject*, PyObject* args) {
+  PyObject* key_obj = nullptr;
+  PyObject* val_obj = nullptr;
+  Py_ssize_t n_rows = 0, T = 0;
+  if (!PyArg_ParseTuple(args, "OOnn", &key_obj, &val_obj, &n_rows, &T))
+    return nullptr;
+  PyArrayObject* key = (PyArrayObject*)PyArray_FROM_OTF(
+      key_obj, NPY_INT64, NPY_ARRAY_IN_ARRAY);
+  PyArrayObject* val = (PyArrayObject*)PyArray_FROM_OTF(
+      val_obj, NPY_INT32, NPY_ARRAY_IN_ARRAY);
+  if (!key || !val) return nullptr;
+  Py_ssize_t n = PyArray_SIZE(key);
+  const int64_t* k = (const int64_t*)PyArray_DATA(key);
+  const int32_t* v = (const int32_t*)PyArray_DATA(val);
+  npy_intp dims[1] = {(npy_intp)(n_rows * T)};
+  PyArrayObject* words =
+      (PyArrayObject*)PyArray_SimpleNew(1, dims, NPY_INT32);
+  int32_t* w = (int32_t*)PyArray_DATA(words);
+  std::fill(w, w + (size_t)(n_rows * T), (int32_t)-1);
+  std::vector<int32_t> cnt((size_t)n_rows, 0);
+  int64_t overflow = 0;
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    int64_t row = k[i];
+    if (row < 0 || row >= (int64_t)n_rows) continue;
+    int32_t c = cnt[(size_t)row]++;
+    if (c < (int32_t)T)
+      w[(size_t)row * T + c] = v[i];
+    else
+      ++overflow;
+  }
+  Py_DECREF(key);
+  Py_DECREF(val);
+  return Py_BuildValue("(NL)", (PyObject*)words, (long long)overflow);
+}
+
 PyMethodDef methods[] = {
     {"union_find", union_find, METH_VARARGS,
      "union_find(n, edges) -> root labels"},
+    {"bucket_scene", bucket_scene, METH_VARARGS,
+     "bucket_scene(key, vals, n_rows, T) -> (words, overflow)"},
     {"group_by_labels", group_by_labels, METH_VARARGS,
      "group_by_labels(labels, valid) -> (sorted_ids, offsets)"},
     {"pack_supports", pack_supports, METH_VARARGS,

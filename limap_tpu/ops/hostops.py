@@ -76,3 +76,27 @@ def pack_supports(sorted_ids: np.ndarray, offsets: np.ndarray, S: int):
         index[g, :len(sel)] = sel
         mask[g, :len(sel)] = True
     return index, mask
+
+
+def bucket_scene(key: np.ndarray, vals: np.ndarray, n_rows: int,
+                 T: int):
+    """Stable bucket fill: (words int32 [n_rows, T] (-1 padded),
+    overflow count).  Edge i lands in (key[i], running-count) order."""
+    key = np.ascontiguousarray(np.asarray(key, np.int64))
+    vals = np.ascontiguousarray(np.asarray(vals, np.int32))
+    native = _load()
+    if native:
+        words, overflow = native.bucket_scene(key, vals, int(n_rows),
+                                              int(T))
+        return words.reshape(n_rows, T), int(overflow)
+    # numpy fallback: stable sort + positional scatter
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    starts = np.searchsorted(ks, np.arange(n_rows))
+    pos = np.arange(len(ks)) - starts[np.clip(ks, 0, n_rows - 1)]
+    keep = (ks >= 0) & (ks < n_rows) & (pos < T)
+    words = np.full((n_rows, T), -1, np.int32)
+    words[ks[keep], pos[keep]] = vals[order][keep]
+    overflow = int((np.bincount(ks[(ks >= 0) & (ks < n_rows)],
+                                minlength=n_rows) - T).clip(0).sum())
+    return words, overflow

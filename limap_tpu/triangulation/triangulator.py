@@ -135,6 +135,21 @@ class GlobalLineTriangulator:
         lengths = np.linalg.norm(lines[..., 2:4] - lines[..., :2], axis=-1)
         self.line_ok = jnp.asarray(mask
                                    & (lengths > self.cfg.min_length_2d))
+        # packed per-line row [sx, sy, ex, ey, ok, pad]: neighbor
+        # lookups become ONE wide gather instead of three scalar
+        # gathers (XLA TPU gathers run ~100M elements/s; at protocol
+        # scale the separate gathers were ~30% of device time)
+        packed = np.zeros((I, L, 6), np.float32)
+        packed[..., :4] = lines[..., :4]
+        packed[..., 4] = (mask & (lengths > self.cfg.min_length_2d))
+        self._l2d_packed = jnp.asarray(packed)
+        # packed per-view row [kvec(4), qvec(4), tvec(3), pad]
+        vb = self.views
+        camp = np.zeros((I, 12), np.float32)
+        camp[:, 0:4] = np.asarray(vb.kvec)
+        camp[:, 4:8] = np.asarray(vb.qvec)
+        camp[:, 8:11] = np.asarray(vb.tvec)
+        self._cam_packed = jnp.asarray(camp)
 
         # per-node state filled during triangulation
         self.best_line3d = np.zeros((I, L, 2, 3), np.float32)
@@ -196,8 +211,8 @@ class GlobalLineTriangulator:
         L = self.L
         linker3d_scoring = cfg.linker3d.to_shared_parent_scoring()
 
-        def run(views_kvec, views_qvec, views_tvec, l2d_start, l2d_end,
-                line_ok, buf1d, vp_data, ranges_lo, ranges_hi):
+        def run(l2d_packed, cam_packed, buf1d, vp_data, ranges_lo,
+                ranges_hi):
             # buf1d [G * (L*T + K + 1)] int32, reshaped on device: packed
             # edge words ((b << 7) | slot, -1 = empty) then the neighbor
             # row table then the row id, per image.  Uploaded as ONE flat
@@ -208,10 +223,8 @@ class GlobalLineTriangulator:
             G = buf1d.shape[0] // W
             buf = buf1d.reshape(G, W)
             N = G * L
-            I = views_kvec.shape[0]
-            l2ds = l2d_start.reshape(I * L, 2)
-            l2de = l2d_end.reshape(I * L, 2)
-            lokf = line_ok.reshape(I * L)
+            I = cam_packed.shape[0]
+            l2d_flat = l2d_packed.reshape(I * L, 6)
 
             word = buf[:, :L * T].reshape(N, T)
             nbr_table = buf[:, L * T:L * T + K]                 # [G, K]
@@ -230,14 +243,19 @@ class GlobalLineTriangulator:
 
             idx1 = rowf * L + a_ids                             # [N]
             idx2 = ng_row * L + b                               # [N, T]
-            l1 = Segments(l2ds[idx1][:, None], l2de[idx1][:, None])
-            l2 = Segments(l2ds[idx2], l2de[idx2])
-            v1 = CameraViewsBatch(views_kvec[rowf][:, None],
-                                  views_qvec[rowf][:, None],
-                                  views_tvec[rowf][:, None])    # [N, 1]
-            v2 = CameraViewsBatch(views_kvec[ng_row], views_qvec[ng_row],
-                                  views_tvec[ng_row])           # [N, T]
-            valid = tvalid & lokf[idx1][:, None] & lokf[idx2]
+            # self rows: contiguous row-takes; neighbors: ONE wide gather
+            own = jnp.take(l2d_packed, row_ids, axis=0).reshape(N, 6)
+            nb = l2d_flat[idx2]                                 # [N, T, 6]
+            cam1 = jnp.take(cam_packed, row_ids, axis=0)        # [G, 12]
+            cam1 = jnp.repeat(cam1, L, axis=0)[:, None, :]      # [N, 1, 12]
+            cam2 = cam_packed[ng_row]                           # [N, T, 12]
+            l1 = Segments(own[:, None, 0:2], own[:, None, 2:4])
+            l2 = Segments(nb[..., 0:2], nb[..., 2:4])
+            v1 = CameraViewsBatch(cam1[..., 0:4], cam1[..., 4:8],
+                                  cam1[..., 8:11])              # [N, 1]
+            v2 = CameraViewsBatch(cam2[..., 0:4], cam2[..., 4:8],
+                                  cam2[..., 8:11])              # [N, T]
+            valid = tvalid & (own[:, None, 4] > 0.5) & (nb[..., 4] > 0.5)
 
             banks = []   # (tri Segments [N, T], ok [N, T])
             if not cfg.disable_algebraic_triangulation:
@@ -407,12 +425,11 @@ class GlobalLineTriangulator:
         run = self._bucket_kernel(K, Tc)
         lo = self.ranges[0] if self.ranges is not None else None
         hi = self.ranges[1] if self.ranges is not None else None
-        views, l2d, lok = self.views, self.lines2d, self.line_ok
+        l2dp, camp = self._l2d_packed, self._cam_packed
         vp = self.vpresults
 
         def shard_fn(buf2d):
-            return run(views.kvec, views.qvec, views.tvec, l2d.start,
-                       l2d.end, lok, buf2d.reshape(-1), vp, lo, hi)
+            return run(l2dp, camp, buf2d.reshape(-1), vp, lo, hi)
 
         sharded = jax.jit(shard_map(
             shard_fn, mesh=mesh, in_specs=P(axis),
@@ -435,53 +452,41 @@ class GlobalLineTriangulator:
         n = len(rows)
         K = max((len(m) for m in matches_list), default=1) or 1
         assert K <= 127, "slot encoding uses 7 bits"
-        # pass 1: sort each image's edges by line, measure bucket need
-        per_img = []
-        max_count = 1
+        # gather all edges (slot-major per image, preserving order)
+        key_parts, val_parts = [], []
         nbr_rows = []
-        for matches in matches_list:
+        for gi, matches in enumerate(matches_list):
             neighbors = sorted(matches.keys())
             nbr_rows.append([self.id2idx[ng] for ng in neighbors])
-            a_parts, b_parts, s_parts = [], [], []
             for s_i, ng in enumerate(neighbors):
                 m = np.asarray(matches[ng]).reshape(-1, 2)
                 if not len(m):
                     continue
-                a_parts.append(m[:, 0])
-                b_parts.append(m[:, 1])
-                s_parts.append(np.full(len(m), s_i, np.int32))
-            if not a_parts:
-                per_img.append(None)
-                continue
-            a = np.concatenate(a_parts).astype(np.int64)
-            bb = np.concatenate(b_parts).astype(np.int32)
-            ss = np.concatenate(s_parts)
-            order = np.argsort(a, kind="stable")
-            a_s = a[order]
-            pos = np.arange(len(a_s)) \
-                - np.searchsorted(a_s, np.arange(L))[a_s]
-            counts = np.bincount(a_s, minlength=L)
-            per_img.append((a_s, bb[order], ss[order], pos, counts))
-            max_count = max(max_count, int(counts.max()))
+                key_parts.append(gi * L + m[:, 0].astype(np.int64))
+                val_parts.append((m[:, 1].astype(np.int32) << 7) | s_i)
+        if key_parts:
+            key = np.concatenate(key_parts)
+            vals = np.concatenate(val_parts)
+            counts = np.bincount(key, minlength=n * L)
+            max_count = int(counts.max()) if len(counts) else 1
+        else:
+            key = np.zeros(0, np.int64)
+            vals = np.zeros(0, np.int32)
+            max_count = 1
         # effective bucket width: the pow-2 cover of the actual max
         # edges/line, capped at max_tris_per_node — upload bytes scale
         # with Tc and scoring compute with Tc^2
         Tc = min(T, max(int(2 ** np.ceil(np.log2(max(max_count, 2)))), 2))
+        # native single-pass stable fill (numpy fallback inside)
+        from limap_tpu.ops import hostops
+        words, overflow = hostops.bucket_scene(key, vals, n * L, Tc)
         buf = np.empty((n, L * Tc + K + 1), np.int32)
-        buf[:, :L * Tc] = -1
-        word = buf[:, :L * Tc].reshape(n, L, Tc)
+        buf[:, :L * Tc] = words.reshape(n, L * Tc)
         nbr_table = buf[:, L * Tc:L * Tc + K]
         nbr_table[:] = -1
+        for gi, nr in enumerate(nbr_rows):
+            nbr_table[gi, :len(nr)] = nr
         buf[:, L * Tc + K] = np.asarray(rows, np.int32)
-        overflow = 0
-        for gi, item in enumerate(per_img):
-            nbr_table[gi, :len(nbr_rows[gi])] = nbr_rows[gi]
-            if item is None:
-                continue
-            a_s, bb, ss, pos, counts = item
-            keep = pos < Tc
-            word[gi, a_s[keep], pos[keep]] = (bb[keep] << 7) | ss[keep]
-            overflow += int(np.maximum(counts - Tc, 0).sum())
         return buf, K, Tc, overflow
 
     # ----------------------------------------------------- triangulation
@@ -498,8 +503,7 @@ class GlobalLineTriangulator:
         lo = self.ranges[0] if self.ranges is not None else None
         hi = self.ranges[1] if self.ranges is not None else None
         floats, ints = kern(
-            self.views.kvec, self.views.qvec, self.views.tvec,
-            self.lines2d.start, self.lines2d.end, self.line_ok,
+            self._l2d_packed, self._cam_packed,
             jnp.asarray(buf.reshape(-1)), self.vpresults, lo, hi)
         floats = np.asarray(floats)[0]
         ints = np.asarray(ints)[0]
@@ -529,7 +533,7 @@ class GlobalLineTriangulator:
 
     def triangulate_all(self, matches_by_image: Dict[int, Dict[int,
                                                                np.ndarray]],
-                        group_size: int = 16) -> None:
+                        group_size: Optional[int] = None) -> None:
         """Triangulate + score every image, ``group_size`` images per
         device call (the batched fast path used by the runner).
 
@@ -562,6 +566,12 @@ class GlobalLineTriangulator:
 
         # single flat upload for the whole scene
         n = len(rows)
+        if group_size is None:
+            # as many images per dispatch as ~2 GB of [L, TT, TT]
+            # scoring intermediates allow (fewer dispatches = less
+            # per-call overhead on the remote tunnel)
+            per_img = self.L * (Tc * Tc) * 4 * 12
+            group_size = int(max(1, min(n, 2e9 // max(per_img, 1))))
         pad_n = (-n) % group_size
         if pad_n:  # pad to a whole number of groups with the last image
             buf = np.concatenate([buf, np.repeat(buf[-1:], pad_n, 0)])
@@ -573,8 +583,7 @@ class GlobalLineTriangulator:
         for g0 in range(0, n, group_size):
             g1 = min(g0 + group_size, n)
             floats, ints = kern(
-                self.views.kvec, self.views.qvec, self.views.tvec,
-                self.lines2d.start, self.lines2d.end, self.line_ok,
+                self._l2d_packed, self._cam_packed,
                 jax.lax.slice_in_dim(d_buf, g0 * W,
                                      (g0 + group_size) * W, axis=0),
                 self.vpresults, lo, hi)
