@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from typing import Optional
 
 
 def interpolate_bilinear(fmap: jnp.ndarray, points: jnp.ndarray):
@@ -108,3 +110,71 @@ def extract_line_patches(fmap: jnp.ndarray, seg_start: jnp.ndarray,
     pts = base[:, :, None, :] + t_perp[None, None, :, None] \
         * n[:, None, None, :]                            # [N, A, P, 2]
     return interpolate_bilinear(fmap, pts)
+
+
+class LinePatchExtractorOptions:
+    """line_patch_extractor.h:19-31: stretch + perpendicular range."""
+
+    def __init__(self, d: Optional[dict] = None):
+        d = d or {}
+        self.k_stretch = d.get("k_stretch", 1.0)
+        self.t_stretch = d.get("t_stretch", 10)
+        self.range_perp = d.get("range_perp", 20)
+
+
+class LinePatchExtractor:
+    """Track-level patch extraction over featuremaps
+    (features/line_patch_extractor.h:33-60): per support, stretch the
+    2D segment (finallength = max(length * k_stretch,
+    length + t_stretch)) and cut a rotated patch of range_perp pixels
+    across, resampled on a fixed grid so a whole track's supports come
+    back as ONE batched array."""
+
+    def __init__(self, options: Optional[LinePatchExtractorOptions] = None,
+                 n_along: int = 32):
+        self.options = options or LinePatchExtractorOptions()
+        self.n_along = n_along
+
+    def _stretch(self, start: np.ndarray, end: np.ndarray):
+        opt = self.options
+        d = end - start
+        length = np.linalg.norm(d, axis=-1, keepdims=True) + 1e-8
+        u = d / length
+        final = np.maximum(length * opt.k_stretch, length + opt.t_stretch)
+        mid = 0.5 * (start + end)
+        return mid - u * final / 2, mid + u * final / 2
+
+    def extract_line_patch(self, line2d: np.ndarray, feature):
+        """line2d [2, 2] -> (patch [A, P, C], origin, axes)."""
+        s, e = self._stretch(line2d[0][None], line2d[1][None])
+        fmap = jnp.asarray(np.asarray(feature))
+        n_perp = int(self.options.range_perp)
+        patch = extract_line_patches(fmap, jnp.asarray(s, jnp.float32),
+                                     jnp.asarray(e, jnp.float32),
+                                     n_along=self.n_along,
+                                     n_perp=n_perp, perp_spacing=1.0)
+        return np.asarray(patch)[0], s[0], e[0]
+
+    def extract_line_patches(self, line2ds: np.ndarray, feature):
+        """line2ds [N, 2, 2] -> patches [N, A, P, C]."""
+        line2ds = np.asarray(line2ds, np.float64).reshape(-1, 2, 2)
+        s, e = self._stretch(line2ds[:, 0], line2ds[:, 1])
+        fmap = jnp.asarray(np.asarray(feature))
+        patch = extract_line_patches(fmap, jnp.asarray(s, jnp.float32),
+                                     jnp.asarray(e, jnp.float32),
+                                     n_along=self.n_along,
+                                     n_perp=int(self.options.range_perp),
+                                     perp_spacing=1.0)
+        return np.asarray(patch)
+
+    def extract_one_image(self, track, img_id: int, view, feature):
+        """Patches of all of one track's supports in one image
+        (LinePatchExtractor::ExtractOneImage)."""
+        segs = [np.asarray(l2d) for (iid, l2d) in
+                zip(track.image_id_list, track.line2d_list)
+                if iid == img_id]
+        if not segs:
+            C = np.asarray(feature).shape[-1]
+            return np.zeros((0, self.n_along,
+                             int(self.options.range_perp), C))
+        return self.extract_line_patches(np.stack(segs), feature)

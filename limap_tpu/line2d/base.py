@@ -221,6 +221,8 @@ def get_detector(cfg_detector: dict, max_num_2d_segs: int = 3000,
 
 def get_extractor(cfg_extractor: dict, weight_path=None) -> BaseDetector:
     import limap_tpu.line2d.endpoints  # noqa: F401
+    import limap_tpu.line2d.l2d2  # noqa: F401
+    import limap_tpu.line2d.lbd  # noqa: F401
     import limap_tpu.line2d.lsd  # noqa: F401
     import limap_tpu.line2d.sold2  # noqa: F401
     import limap_tpu.line2d.tpu_lsd  # noqa: F401
@@ -235,6 +237,8 @@ def get_extractor(cfg_extractor: dict, weight_path=None) -> BaseDetector:
 def get_matcher(cfg_matcher: dict, extractor: BaseDetector,
                 n_neighbors: int = 20, weight_path=None) -> BaseMatcher:
     import limap_tpu.line2d.endpoints  # noqa: F401
+    import limap_tpu.line2d.l2d2  # noqa: F401
+    import limap_tpu.line2d.lbd  # noqa: F401
     import limap_tpu.line2d.sold2  # noqa: F401
     method = cfg_matcher["method"]
     if method not in MATCHER_REGISTRY:

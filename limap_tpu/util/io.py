@@ -250,3 +250,80 @@ def read_ply(fname: str) -> np.ndarray:
             break
     return np.array([[float(v) for v in lines[start + i].split()[:3]]
                      for i in range(n)])
+
+
+# ------------------------------------------------------ Line3D++ interop
+def save_l3dpp(folder, imagecols, all_2d_segs):
+    """Export per-image 2D segments in Line3D++'s input format
+    (util/io.py:220-257 in the reference, incl. the TnT id remapping)."""
+    import shutil
+
+    if os.path.exists(folder):
+        shutil.rmtree(folder)
+    os.makedirs(folder)
+    image_names = [imagecols.image_name(i)
+                   for i in imagecols.get_img_ids()]
+    first_cam = imagecols.cameras[list(imagecols.cameras.keys())[0]]
+    height, width = first_cam.hw
+    mode = "default"
+    if image_names and os.path.basename(image_names[0])[:1] == "0":  # tnt
+        mode = "tnt"
+        number_list = [int(os.path.basename(n)[:-4])
+                       for n in image_names]
+        index_list = np.argsort(number_list).tolist()
+        ids = imagecols.get_img_ids()
+    for k, idx in enumerate(imagecols.get_img_ids()):
+        if mode == "default":
+            image_id = idx
+        else:
+            image_id = index_list.index(k)
+        fname = os.path.join(
+            folder, f"segments_L3D++_{image_id}_{width}x{height}_3000.txt")
+        segs = np.asarray(all_2d_segs[idx])
+        with open(fname, "w") as f:
+            f.write(f"{segs.shape[0]}\n")
+            for line in segs:
+                f.write(f"{line[0]} {line[1]} {line[2]} {line[3]}\n")
+
+
+def read_txt_Line3Dpp(fname):
+    """Import a Line3D++ result file -> (linetracks,
+    line_track_id_list, line_counts, mergemat)
+    (util/io.py:349-396 in the reference)."""
+    from limap_tpu.base.linetrack import LineTrack
+
+    linetracks = []
+    line_counts = []
+    line_track_id_list = []
+    line_counters = 0
+    with open(fname) as f:
+        txt_lines = f.readlines()
+    for txt_line in txt_lines:
+        tok = txt_line.strip().split(" ")
+        c = 0
+        n_lines = int(tok[c]); c += 1
+        line_counters += n_lines
+        line3d_list = []
+        for _ in range(n_lines):
+            vals = [float(k) for k in tok[c:c + 6]]
+            c += 6
+            line3d_list.append(np.array([vals[:3], vals[3:]]))
+        line3d = line3d_list[0]
+        n_supports = int(tok[c]); c += 1
+        img_ids, line_ids, line2ds = [], [], []
+        for _ in range(n_supports):
+            img_ids.append(int(tok[c])); c += 1
+            line_ids.append(int(tok[c])); c += 1
+            vals = [float(k) for k in tok[c:c + 4]]
+            c += 4
+            line2ds.append(np.array([vals[:2], vals[2:]]))
+        track = LineTrack(line=line3d, image_id_list=img_ids,
+                          line_id_list=line_ids, line2d_list=line2ds)
+        linetracks.append(track)
+        for _ in range(n_lines):
+            line_counts.append(track.count_images())
+            line_track_id_list.append(len(linetracks) - 1)
+    mergemat = np.zeros((len(linetracks), line_counters))
+    for idx, track_id in enumerate(line_track_id_list):
+        mergemat[track_id, idx] = 1
+    return linetracks, line_track_id_list, line_counts, mergemat

@@ -69,3 +69,31 @@ def test_merge_vptracks_by_direction():
     assert len(out) == 2
     lens = sorted(t.length() for t in out)
     assert lens == [1, 2]
+
+
+def test_progressivex_finds_vps(rng):
+    """Progressive-X equivalent: two synthetic pencils of lines."""
+    from limap_tpu.vplib import ProgressiveX, ProgressiveXConfig
+
+    vp1 = np.array([2000.0, 240.0])
+    vp2 = np.array([320.0, -1500.0])
+    segs = []
+    for vp in (vp1, vp2):
+        for _ in range(30):
+            p0 = rng.random(2) * [640, 480]
+            d = vp - p0
+            d = d / np.linalg.norm(d)
+            p1 = p0 + d * (30 + rng.random() * 40)
+            segs.append(np.concatenate([p0, p1]))
+    segs = np.asarray(segs)
+    det = ProgressiveX(ProgressiveXConfig(min_length=10.0,
+                                          inlier_threshold=2.0))
+    res = det.compute_vp_labels(segs)
+    assert res.count_vps() >= 2
+    # the two pencils get (mostly) coherent labels
+    lab = np.asarray(res.labels)
+    first = lab[:30][lab[:30] >= 0]
+    second = lab[30:][lab[30:] >= 0]
+    assert len(first) > 20 and len(second) > 20
+    assert np.bincount(first).max() > 0.9 * len(first)
+    assert np.bincount(second).max() > 0.9 * len(second)
