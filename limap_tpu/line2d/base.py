@@ -223,6 +223,7 @@ def get_extractor(cfg_extractor: dict, weight_path=None) -> BaseDetector:
     import limap_tpu.line2d.endpoints  # noqa: F401
     import limap_tpu.line2d.l2d2  # noqa: F401
     import limap_tpu.line2d.lbd  # noqa: F401
+    import limap_tpu.line2d.linetr  # noqa: F401
     import limap_tpu.line2d.lsd  # noqa: F401
     import limap_tpu.line2d.sold2  # noqa: F401
     import limap_tpu.line2d.tpu_lsd  # noqa: F401
@@ -239,6 +240,7 @@ def get_matcher(cfg_matcher: dict, extractor: BaseDetector,
     import limap_tpu.line2d.endpoints  # noqa: F401
     import limap_tpu.line2d.l2d2  # noqa: F401
     import limap_tpu.line2d.lbd  # noqa: F401
+    import limap_tpu.line2d.linetr  # noqa: F401
     import limap_tpu.line2d.sold2  # noqa: F401
     method = cfg_matcher["method"]
     if method not in MATCHER_REGISTRY:

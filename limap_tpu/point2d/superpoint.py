@@ -147,6 +147,28 @@ class SuperPoint:
         return {"keypoints": kps, "scores": scores[order],
                 "descriptors": d}
 
+    def dense(self, image: np.ndarray) -> Dict[str, np.ndarray]:
+        """Dense outputs (compute_dense_descriptor_and_score in the
+        reference, superpoint.py:243-272): the full-resolution score
+        map (cell softmax, dustbin dropped, unfolded) and the
+        L2-normalized descriptor grid at 1/8 resolution."""
+        img = np.asarray(image, np.float32)
+        if img.ndim == 3:
+            img = img.mean(-1)
+        if img.max() > 1.5:
+            img = img / 255.0
+        H, W = img.shape
+        H8, W8 = (H // 8) * 8, (W // 8) * 8
+        x = jnp.asarray(img[:H8, :W8])[None, :, :, None]
+        semi, desc = self.net.apply(self.params, x)
+        prob = jax.nn.softmax(semi[0], axis=-1)[..., :64]
+        Hc, Wc = prob.shape[:2]
+        heat = prob.reshape(Hc, Wc, 8, 8).transpose(0, 2, 1, 3).reshape(
+            Hc * 8, Wc * 8)
+        # the Flax net already L2-normalizes desc over channels
+        return {"dense_score": np.asarray(heat),
+                "dense_descriptor": np.asarray(desc[0])}
+
 
 class HarrisPatchExtractor:
     """Learned-free keypoints + patch descriptors (works without any
