@@ -206,8 +206,10 @@ def get_detector(cfg_detector: dict, max_num_2d_segs: int = 3000,
                  weight_path=None) -> BaseDetector:
     """register_detector.py:4 equivalent."""
     import limap_tpu.line2d.deeplsd  # noqa: F401  (registers)
+    import limap_tpu.line2d.hawpv3  # noqa: F401
     import limap_tpu.line2d.lsd  # noqa: F401
     import limap_tpu.line2d.sold2  # noqa: F401
+    import limap_tpu.line2d.tp_lsd  # noqa: F401
     import limap_tpu.line2d.tpu_lsd  # noqa: F401
     import limap_tpu.line2d.endpoints  # noqa: F401
     method = cfg_detector["method"]
@@ -220,7 +222,9 @@ def get_detector(cfg_detector: dict, max_num_2d_segs: int = 3000,
 
 
 def get_extractor(cfg_extractor: dict, weight_path=None) -> BaseDetector:
+    import limap_tpu.line2d.dense  # noqa: F401
     import limap_tpu.line2d.endpoints  # noqa: F401
+    import limap_tpu.line2d.gluestick  # noqa: F401
     import limap_tpu.line2d.l2d2  # noqa: F401
     import limap_tpu.line2d.lbd  # noqa: F401
     import limap_tpu.line2d.linetr  # noqa: F401
@@ -237,7 +241,9 @@ def get_extractor(cfg_extractor: dict, weight_path=None) -> BaseDetector:
 
 def get_matcher(cfg_matcher: dict, extractor: BaseDetector,
                 n_neighbors: int = 20, weight_path=None) -> BaseMatcher:
+    import limap_tpu.line2d.dense  # noqa: F401
     import limap_tpu.line2d.endpoints  # noqa: F401
+    import limap_tpu.line2d.gluestick  # noqa: F401
     import limap_tpu.line2d.l2d2  # noqa: F401
     import limap_tpu.line2d.lbd  # noqa: F401
     import limap_tpu.line2d.linetr  # noqa: F401
