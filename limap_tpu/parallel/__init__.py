@@ -1,9 +1,12 @@
-"""Multi-chip sharding: meshes, distributed hybrid BA."""
+"""Multi-chip sharding: meshes, distributed hybrid BA, multi-host
+driver."""
 
+from limap_tpu.parallel import distributed
 from limap_tpu.parallel.mesh import (TRACK_AXIS, make_mesh, replicated,
                                      track_sharding)
 from limap_tpu.parallel.sharded_ba import (HybridBAOptions, HybridBAState,
                                            make_hybrid_ba_step)
 
 __all__ = ["TRACK_AXIS", "make_mesh", "replicated", "track_sharding",
-           "HybridBAOptions", "HybridBAState", "make_hybrid_ba_step"]
+           "HybridBAOptions", "HybridBAState", "make_hybrid_ba_step",
+           "distributed"]
