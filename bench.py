@@ -87,28 +87,14 @@ def time_mapping(imagecols, segs, nbrs, repeats=3):
     tri.init(segs, imagecols)
     tri.triangulate_all(nbrs)  # compile
     best = 1e30
+    best_t = None
     for _ in range(repeats):
         t0 = time.perf_counter()
         tri.triangulate_all(nbrs)
-        best = min(best, time.perf_counter() - t0)
-    return best, tri
-
-
-def stage_breakdown(tri, nbrs):
-    """Host bucketing vs (upload + device) split of one mapping pass."""
-    import jax
-    import jax.numpy as jnp
-
-    rows = [tri.id2idx[i] for i in tri.img_ids if i in nbrs]
-    ml = [nbrs[i] for i in tri.img_ids if i in nbrs]
-    t0 = time.perf_counter()
-    buf, K, Tc, _ = tri._bucket_arrays(rows, ml)
-    t_bucket = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    d_buf = jnp.asarray(np.ascontiguousarray(buf).reshape(-1))
-    jax.block_until_ready(d_buf)
-    t_upload = time.perf_counter() - t0
-    return t_bucket, t_upload, Tc, buf.nbytes
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best, best_t = dt, dict(tri.timings)
+    return best, best_t, tri
 
 
 def main():
@@ -116,16 +102,16 @@ def main():
 
     platform = jax.devices()[0].platform
     imagecols, segs, nbrs = build_scene(N_VIEWS, N_LINES, N_NEIGHBORS)
-    t_dev, tri = time_mapping(imagecols, segs, nbrs)
+    t_dev, tm, tri = time_mapping(imagecols, segs, nbrs)
     frames_per_sec = N_VIEWS / t_dev
-    t_bucket, t_upload, Tc, up_bytes = stage_breakdown(tri, nbrs)
-    t_compute = max(t_dev - t_bucket - t_upload, 1e-9)
+    Tc = tm["Tc"]
 
-    # roofline estimate for the dominant scoring stage: active lines x
-    # TT^2 pair evaluations x ~350 flops (17-distance linker + 2D
-    # projection math, counted from the kernel)
+    # device-time FLOP rate for the scoring stage only (N*L lines x
+    # Tc^2 pair evaluations x ~350 flops counted from the kernel); an
+    # attribution aid, not a roofline claim — the stage is small
     flops = N_VIEWS * N_LINES * (Tc * Tc) * 350.0
-    gflops = flops / t_compute / 1e9
+    t_compute = tm["dispatch_s"] + tm["device_s"]
+    gflops = flops / max(t_compute, 1e-9) / 1e9
 
     # C++/OpenMP reference-semantics engine on the same scene + config
     vs_baseline = None
@@ -147,10 +133,13 @@ def main():
     except Exception as exc:  # baseline unavailable: report null
         print(f"baseline engine failed: {exc!r}", file=sys.stderr)
 
-    breakdown = (f"bucket {t_bucket * 1e3:.0f}ms + upload "
-                 f"{t_upload * 1e3:.0f}ms ({up_bytes / 1e6:.1f}MB) + "
-                 f"device {t_compute * 1e3:.0f}ms "
-                 f"(~{gflops:.0f} GFLOP/s scoring, Tc={Tc})")
+    breakdown = (f"bucket {tm['bucket_s'] * 1e3:.0f}ms + "
+                 f"submit {tm['dispatch_s'] * 1e3:.0f}ms + "
+                 f"pipelined upload({tm['upload_bytes'] / 1e6:.1f}MB)"
+                 f"+compute wait {tm['device_s'] * 1e3:.0f}ms "
+                 f"(~{gflops:.0f} GFLOP/s scoring, Tc={Tc}); "
+                 f"parts sum to {tm['total_s'] * 1e3:.0f}ms of "
+                 f"{t_dev * 1e3:.0f}ms pass")
     print(json.dumps({
         "metric": "line_mapping_frames_per_sec",
         "value": round(frames_per_sec, 2),

@@ -123,12 +123,13 @@ def all_gather_host_dicts(local: dict) -> dict:
 
 
 def run_distributed_mapping(cfg: dict, imagecols, all_2d_segs,
-                            matches_by_image, ranges=None):
+                            matches_by_image, ranges=None, mesh=None):
     """Image-sharded triangulation + scoring over the global mesh, then
     track building on every host (deterministic, so no exchange needed).
 
     Host pre-stages are expected to be process-partitioned with
     :func:`shard_image_ids` + merged via :func:`all_gather_host_dicts`.
+    ``mesh`` defaults to a 1-D mesh over every device of every process.
     """
     from limap_tpu.triangulation.triangulator import (
         GlobalLineTriangulator, TriangulatorConfig)
@@ -138,5 +139,6 @@ def run_distributed_mapping(cfg: dict, imagecols, all_2d_segs,
     tri.init(all_2d_segs, imagecols)
     if ranges is not None:
         tri.set_ranges(ranges)
-    tri.triangulate_all_mesh(matches_by_image, global_mesh())
+    tri.triangulate_all_mesh(matches_by_image,
+                             global_mesh() if mesh is None else mesh)
     return tri.compute_line_tracks()

@@ -82,7 +82,10 @@ def write_scene(path, views, segs, matches, cfg=None):
             np.asarray(K, "<f8").tofile(f)
             np.asarray(R, "<f8").tofile(f)
             np.asarray(t, "<f8").tofile(f)
-            arr = np.asarray(segs[img_id], "<f8").reshape(-1, 4)
+            arr = np.asarray(segs[img_id], "<f8")
+            if arr.ndim == 2 and arr.shape[1] > 4:
+                arr = arr[:, :4]  # drop score column (detector output)
+            arr = np.ascontiguousarray(arr.reshape(-1, 4), "<f8")
             f.write(struct.pack("<i", len(arr)))
             arr.tofile(f)
         blocks = [(i, j, np.asarray(m, "<i4").reshape(-1, 2))

@@ -211,28 +211,36 @@ class GlobalLineTriangulator:
         L = self.L
         linker3d_scoring = cfg.linker3d.to_shared_parent_scoring()
 
-        def run(l2d_packed, cam_packed, buf1d, vp_data, ranges_lo,
-                ranges_hi):
-            # buf1d [G * (L*T + K + 1)] int32, reshaped on device: packed
-            # edge words ((b << 7) | slot, -1 = empty) then the neighbor
-            # row table then the row id, per image.  Uploaded as ONE flat
-            # 1-D array: 2-D host->device transfers go through a slow
+        def run(l2d_packed, cam_packed, words1d, meta1d, vp_data,
+                ranges_lo, ranges_hi):
+            # words1d [G * L * T]: packed edge words, uint16 fast path
+            # ((b << 5) | slot, 0xFFFF = empty; halves the host->device
+            # bytes — the dominant cost on the remote tunnel) when
+            # L <= 2046 and K <= 32, else int32 ((b << 7) | slot,
+            # -1 = empty).  meta1d [G * (K + 1)] int32: neighbor row
+            # table + row id per image.  Uploaded as flat 1-D arrays:
+            # 2-D host->device transfers go through a slow
             # tiled-relayout path on the remote tunnel (~56 MB/s vs
             # ~2 GB/s flat, measured in-env).
-            W = L * T + K + 1
-            G = buf1d.shape[0] // W
-            buf = buf1d.reshape(G, W)
+            G = words1d.shape[0] // (L * T)
             N = G * L
             I = cam_packed.shape[0]
             l2d_flat = l2d_packed.reshape(I * L, 6)
+            meta = meta1d.reshape(G, K + 1)
+            nbr_table = meta[:, :K]                             # [G, K]
+            row_ids = meta[:, K]                                # [G]
 
-            word = buf[:, :L * T].reshape(N, T)
-            nbr_table = buf[:, L * T:L * T + K]                 # [G, K]
-            row_ids = buf[:, L * T + K]                         # [G]
-            tvalid = word >= 0
-            w = jnp.maximum(word, 0)
-            b = w >> 7
-            slot = w & 0x7F
+            word = words1d.reshape(N, T)
+            if word.dtype == jnp.uint16:
+                tvalid = word != jnp.uint16(0xFFFF)
+                w = jnp.where(tvalid, word, 0).astype(jnp.int32)
+                b = w >> 5
+                slot = w & 0x1F
+            else:
+                tvalid = word >= 0
+                w = jnp.maximum(word, 0)
+                b = w >> 7
+                slot = w & 0x7F
 
             rowf = jnp.repeat(row_ids, L)                       # [N]
             a_ids = jnp.tile(jnp.arange(L, dtype=jnp.int32), G)
@@ -397,12 +405,21 @@ class GlobalLineTriangulator:
         return self._compiled[key]
 
     def triangulate_all_mesh(self, matches_by_image, mesh,
-                             axis: str = "img") -> None:
+                             axis: str = None) -> None:
         """Data-parallel triangulation over a ``jax.sharding.Mesh``:
         images are sharded across devices (each device triangulates +
         scores its shard with zero communication — the stage is
         embarrassingly parallel until clustering, SURVEY §2.3).  The
-        mesh must have a single axis named ``axis``."""
+        mesh must have a single axis; ``axis`` defaults to that axis's
+        own name so any 1-D mesh (e.g. parallel.mesh.make_mesh or
+        parallel.distributed.global_mesh) works unmodified."""
+        if axis is None:
+            names = list(mesh.shape.keys())
+            if len(names) != 1:
+                raise ValueError(
+                    f"triangulate_all_mesh needs a 1-D mesh, got axes "
+                    f"{names}; pass axis= explicitly")
+            axis = names[0]
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
@@ -415,26 +432,30 @@ class GlobalLineTriangulator:
             matches_list.append(m)
         if not rows:
             return
-        buf, K, Tc, overflow = self._bucket_arrays(rows, matches_list)
+        words, meta, K, Tc, overflow = self._bucket_arrays(rows,
+                                                           matches_list)
         self.overflow_edges = overflow
         n = len(rows)
         d = int(np.prod([mesh.shape[a] for a in mesh.shape]))
         pad_n = (-n) % d
         if pad_n:
-            buf = np.concatenate([buf, np.repeat(buf[-1:], pad_n, 0)])
+            words = np.concatenate([words,
+                                    np.repeat(words[-1:], pad_n, 0)])
+            meta = np.concatenate([meta, np.repeat(meta[-1:], pad_n, 0)])
         run = self._bucket_kernel(K, Tc)
         lo = self.ranges[0] if self.ranges is not None else None
         hi = self.ranges[1] if self.ranges is not None else None
         l2dp, camp = self._l2d_packed, self._cam_packed
         vp = self.vpresults
 
-        def shard_fn(buf2d):
-            return run(l2dp, camp, buf2d.reshape(-1), vp, lo, hi)
+        def shard_fn(words2d, meta2d):
+            return run(l2dp, camp, words2d.reshape(-1),
+                       meta2d.reshape(-1), vp, lo, hi)
 
         sharded = jax.jit(shard_map(
-            shard_fn, mesh=mesh, in_specs=P(axis),
+            shard_fn, mesh=mesh, in_specs=(P(axis), P(axis)),
             out_specs=(P(axis), P(axis)), check_vma=False))
-        floats, ints = sharded(jnp.asarray(buf))
+        floats, ints = sharded(jnp.asarray(words), jnp.asarray(meta))
         self._dev_results = (rows, [(list(range(n)), floats[:n],
                                      ints[:n])], Tc)
         self._host_synced = False
@@ -473,21 +494,33 @@ class GlobalLineTriangulator:
             key = np.zeros(0, np.int64)
             vals = np.zeros(0, np.int32)
             max_count = 1
-        # effective bucket width: the pow-2 cover of the actual max
-        # edges/line, capped at max_tris_per_node — upload bytes scale
-        # with Tc and scoring compute with Tc^2
-        Tc = min(T, max(int(2 ** np.ceil(np.log2(max(max_count, 2)))), 2))
+        # effective bucket width: cover of the actual max edges/line,
+        # capped at max_tris_per_node — upload bytes scale with Tc and
+        # scoring compute with Tc^2, so the cover is the next multiple
+        # of 8 (2/4 for tiny scenes) rather than the next power of two
+        # (20 edges/line -> Tc 24, not 32: 1.8x less pair work);
+        # bucketing stays coarse enough to bound recompilation
+        if max_count <= 2:
+            Tc = 2
+        elif max_count <= 4:
+            Tc = 4
+        else:
+            Tc = int(8 * ((max_count + 7) // 8))
+        Tc = min(T, Tc)
         # native single-pass stable fill (numpy fallback inside)
         from limap_tpu.ops import hostops
         words, overflow = hostops.bucket_scene(key, vals, n * L, Tc)
-        buf = np.empty((n, L * Tc + K + 1), np.int32)
-        buf[:, :L * Tc] = words.reshape(n, L * Tc)
-        nbr_table = buf[:, L * Tc:L * Tc + K]
-        nbr_table[:] = -1
+        words = words.reshape(n, L * Tc)
+        if L <= 2046 and K <= 32:
+            # uint16 re-encode ((b << 5) | slot, 0xFFFF = empty):
+            # halves the dominant host->device transfer
+            w16 = ((words >> 7) << 5 | (words & 0x7F)).astype(np.uint16)
+            words = np.where(words < 0, np.uint16(0xFFFF), w16)
+        meta = np.full((n, K + 1), -1, np.int32)
         for gi, nr in enumerate(nbr_rows):
-            nbr_table[gi, :len(nr)] = nr
-        buf[:, L * Tc + K] = np.asarray(rows, np.int32)
-        return buf, K, Tc, overflow
+            meta[gi, :len(nr)] = nr
+        meta[:, K] = np.asarray(rows, np.int32)
+        return words, meta, K, Tc, overflow
 
     # ----------------------------------------------------- triangulation
     def triangulate_image(self, img_id: int,
@@ -497,14 +530,15 @@ class GlobalLineTriangulator:
         Synchronous: writes host state for this image directly."""
         self._sync_host()
         row = self.id2idx[img_id]
-        buf, K, Tc, overflow = self._bucket_arrays([row], [matches])
+        words, meta, K, Tc, overflow = self._bucket_arrays([row], [matches])
         self.overflow_edges = getattr(self, "overflow_edges", 0) + overflow
         kern = self._get_bucket_kernel(K, Tc)
         lo = self.ranges[0] if self.ranges is not None else None
         hi = self.ranges[1] if self.ranges is not None else None
         floats, ints = kern(
             self._l2d_packed, self._cam_packed,
-            jnp.asarray(buf.reshape(-1)), self.vpresults, lo, hi)
+            jnp.asarray(words.reshape(-1)), jnp.asarray(meta.reshape(-1)),
+            self.vpresults, lo, hi)
         floats = np.asarray(floats)[0]
         ints = np.asarray(ints)[0]
         self.best_line3d[row, :, 0] = floats[:, 0:3]
@@ -543,6 +577,8 @@ class GlobalLineTriangulator:
         On a remote-tunnel TPU backend a single deferred download of
         the packed results replaces hundreds of per-image round trips
         (26 ms RTT per synchronization measured in-env)."""
+        import time as _time
+        t_start = _time.perf_counter()
         rows, matches_list = [], []
         for img_id in self.img_ids:
             m = matches_by_image.get(img_id)
@@ -552,7 +588,9 @@ class GlobalLineTriangulator:
             matches_list.append(m)
         if not rows:
             return
-        buf, K, Tc, overflow = self._bucket_arrays(rows, matches_list)
+        words, meta, K, Tc, overflow = self._bucket_arrays(rows,
+                                                           matches_list)
+        t_bucket = _time.perf_counter()
         self.overflow_edges = overflow
         if overflow:
             import warnings
@@ -564,7 +602,6 @@ class GlobalLineTriangulator:
         lo = self.ranges[0] if self.ranges is not None else None
         hi = self.ranges[1] if self.ranges is not None else None
 
-        # single flat upload for the whole scene
         n = len(rows)
         if group_size is None:
             # as many images per dispatch as ~2 GB of [L, TT, TT]
@@ -574,23 +611,43 @@ class GlobalLineTriangulator:
             group_size = int(max(1, min(n, 2e9 // max(per_img, 1))))
         pad_n = (-n) % group_size
         if pad_n:  # pad to a whole number of groups with the last image
-            buf = np.concatenate([buf, np.repeat(buf[-1:], pad_n, 0)])
-        W = buf.shape[1]
-        d_buf = jnp.asarray(np.ascontiguousarray(buf).reshape(-1))
+            words = np.concatenate([words,
+                                    np.repeat(words[-1:], pad_n, 0)])
+            meta = np.concatenate([meta, np.repeat(meta[-1:], pad_n, 0)])
 
-        # async dispatch per group; results accumulate on device
+        # pipelined upload + dispatch: each group's host->device
+        # transfer is submitted asynchronously and overlaps the
+        # previous group's device compute (the two stages were serial
+        # before: 474 ms upload + 404 ms compute at protocol scale;
+        # overlapped they cost ~max of the two)
         outs = []
         for g0 in range(0, n, group_size):
             g1 = min(g0 + group_size, n)
-            floats, ints = kern(
-                self._l2d_packed, self._cam_packed,
-                jax.lax.slice_in_dim(d_buf, g0 * W,
-                                     (g0 + group_size) * W, axis=0),
-                self.vpresults, lo, hi)
+            d_words = jax.device_put(np.ascontiguousarray(
+                words[g0:g0 + group_size]).reshape(-1))
+            d_meta = jax.device_put(np.ascontiguousarray(
+                meta[g0:g0 + group_size]).reshape(-1))
+            floats, ints = kern(self._l2d_packed, self._cam_packed,
+                                d_words, d_meta, self.vpresults, lo, hi)
             outs.append((list(range(g0, g1)), floats, ints))
         self._dev_results = (rows, outs, Tc)
         self._host_synced = False
+        t_dispatch = _time.perf_counter()
         jax.block_until_ready([o[1] for o in outs])
+        t_end = _time.perf_counter()
+        # per-stage attribution measured INSIDE the pass: parts sum to
+        # the pass total by construction (bench.py consumes this).
+        # upload+device are pipelined, so they are attributed together
+        # (= dispatch-loop time + final wait).
+        self.timings = {
+            "bucket_s": t_bucket - t_start,
+            "upload_s": 0.0,
+            "dispatch_s": t_dispatch - t_bucket,
+            "device_s": t_end - t_dispatch,
+            "total_s": t_end - t_start,
+            "upload_bytes": int(words.nbytes + meta.nbytes),
+            "Tc": Tc,
+        }
 
     def _sync_host(self) -> None:
         """Download device-resident triangulation results into the host
