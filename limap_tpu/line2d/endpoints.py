@@ -164,13 +164,177 @@ class NNEndpointsMatcher(BaseMatcher):
         return np.stack([i[good], j[good]], axis=1)
 
 
+@register_extractor("superpoint_endpoints")
+@register_detector("superpoint_endpoints")
+class SuperPointEndpointsExtractor(BaseDetector):
+    """SuperPoint descriptors at the two endpoints of every segment —
+    the reference's default learned line descriptor
+    (/root/reference/src/limap/line2d/endpoints/extractor.py:45-87).
+    descinfo layout matches the reference exactly: ``lines`` [2N, 2],
+    ``lines_score`` [N] (= seg score x sqrt(length), max-normalized),
+    ``endpoints_desc`` [256, 2N]."""
+
+    def __init__(self, options=None):
+        super().__init__(options)
+        from limap_tpu.point2d.superpoint import SuperPoint
+        self.sp = SuperPoint(weight_path=self.weight_path)
+
+    def get_module_name(self):
+        return "superpoint_endpoints"
+
+    def extract(self, camview, segs) -> dict:
+        img = camview.read_image(set_gray=True)
+        return self.compute_descinfo(img, np.asarray(segs))
+
+    def compute_descinfo(self, img, segs) -> dict:
+        img = np.asarray(img, np.float32)
+        if img.ndim == 3:
+            img = img.mean(-1)
+        if len(segs) == 0:
+            return {"image_shape": img.shape, "lines": np.zeros((0, 2)),
+                    "lines_score": np.zeros((0,)),
+                    "endpoints_desc": np.zeros((256, 0))}
+        segs = np.asarray(segs)
+        lines = segs[:, :4].reshape(-1, 2)
+        lengths = np.linalg.norm(segs[:, :2] - segs[:, 2:4], axis=1)
+        score = (segs[:, -1] if segs.shape[1] > 4
+                 else np.ones(len(segs))) * np.sqrt(lengths)
+        score = score / (score.max() + 1e-8)
+        dense = self.sp.dense(img)
+        from limap_tpu.point2d.superpoint import sample_descriptors
+        desc = np.asarray(sample_descriptors(
+            jnp.asarray(dense["dense_descriptor"]),
+            jnp.asarray(lines, jnp.float32)))
+        return {"image_shape": img.shape, "lines": lines,
+                "lines_score": score, "endpoints_desc": desc.T}
+
+
 @register_matcher("superglue_endpoints")
+class SuperGlueEndpointsMatcher(BaseMatcher):
+    """Learned line matcher: the full SuperGlue attentional GNN over
+    all endpoints of both images, line score = best endpoint-pairing
+    combination, then a second OT pass over line scores — exactly the
+    reference's superglue_endpoints matcher
+    (/root/reference/src/limap/line2d/endpoints/matcher.py:114-253),
+    running the JAX port (limap_tpu.point2d.superglue)."""
+
+    def __init__(self, extractor, options=None):
+        super().__init__(extractor, options)
+        options = options or {}
+        assert extractor.get_module_name() == "superpoint_endpoints", \
+            "superglue_endpoints needs 256-d SuperPoint endpoint " \
+            "descriptors (reference matcher.py:118)"
+        from limap_tpu.point2d.superglue import SuperGlue
+        self.sg = SuperGlue(
+            weight_path=options.get("superglue_weight_path"),
+            match_threshold=options.get("match_threshold", 0.2))
+
+    def get_module_name(self):
+        return "superglue_endpoints"
+
+    def match_pair(self, descinfo1, descinfo2) -> np.ndarray:
+        import jax.numpy as _jnp
+        d1 = np.asarray(descinfo1["endpoints_desc"], np.float32)
+        d2 = np.asarray(descinfo2["endpoints_desc"], np.float32)
+        if d1.shape[1] == 0 or d2.shape[1] == 0:
+            return np.zeros((0, 2), np.int64)
+        data = {
+            "image_shape0": descinfo1["image_shape"],
+            "image_shape1": descinfo2["image_shape"],
+            "keypoints0": np.asarray(descinfo1["lines"], np.float32),
+            "keypoints1": np.asarray(descinfo2["lines"], np.float32),
+            "scores0": np.repeat(np.asarray(
+                descinfo1["lines_score"], np.float32), 2),
+            "scores1": np.repeat(np.asarray(
+                descinfo2["lines_score"], np.float32), 2),
+            "descriptors0": d1,
+            "descriptors1": d2,
+        }
+        raw = self.sg.scores(data)  # [2N1, 2N2] endpoint scores
+        n1, n2 = d1.shape[1] // 2, d2.shape[1] // 2
+        s = raw.reshape(n1, 2, n2, 2)
+        line_scores = 0.5 * _jnp.maximum(
+            s[:, 0, :, 0] + s[:, 1, :, 1],
+            s[:, 0, :, 1] + s[:, 1, :, 0])
+        if self.topk == 0:
+            Z = self.sg.solve_optimal_transport(line_scores)
+            from limap_tpu.point2d.superglue import get_matches
+            m0 = get_matches(np.asarray(Z), self.sg.match_threshold)[0]
+            ids1 = np.arange(n1)[m0 != -1]
+            return np.stack([ids1, m0[m0 != -1]], 1)
+        scores = np.asarray(line_scores)
+        k = min(self.topk, n2)
+        idx = np.argsort(-scores, axis=1)[:, :k]
+        return np.stack([np.repeat(np.arange(n1), k),
+                         idx.reshape(-1)], 1)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _batched_line_scores_topk(d1, d2, n2, k):
+    """[P, D, 2L] x [P, D, 2L] stacked endpoint descs -> per-line top-k
+    (values, idx) [P, L, k].  One device dispatch for a whole
+    neighbor-pair batch (vs per-pair round trips over the tunnel)."""
+    s = jnp.einsum("pdi,pdj->pij", d1, d2)
+    P, twoL = s.shape[0], s.shape[1]
+    L = twoL // 2
+    s = s.reshape(P, L, 2, L, 2)
+    line_scores = 0.5 * jnp.maximum(s[:, :, 0, :, 0] + s[:, :, 1, :, 1],
+                                    s[:, :, 0, :, 1] + s[:, :, 1, :, 0])
+    valid = jnp.arange(L)[None, :] < n2[:, None]  # [P, L2]
+    line_scores = jnp.where(valid[:, None, :], line_scores, -1e9)
+    return jax.lax.top_k(line_scores, k)
+
+
+def batched_match_pairs(descinfos: dict, pairs, topk: int = 10,
+                        min_score: float = 0.2, chunk: int = 256):
+    """Match many image pairs in a few device dispatches.
+
+    descinfos: {img_id: descinfo}; pairs: [(id1, id2), ...].
+    Returns {(id1, id2): [M, 2] int matches}.  TPU-first equivalent of
+    the reference's joblib match_all_neighbors fan-out
+    (line2d/base_matcher.py:117): descriptors are padded to a pow-2
+    line bucket, stacked, and scored with one einsum + top_k per chunk.
+    """
+    ids = sorted(descinfos.keys())
+    n_lines = {i: np.asarray(descinfos[i]["endpoints_desc"]).shape[1] // 2
+               for i in ids}
+    Lmax = max(max(n_lines.values()), 1)
+    Lpad = 1 << int(np.ceil(np.log2(max(Lmax, 2))))
+    D = max(np.asarray(descinfos[i]["endpoints_desc"]).shape[0]
+            for i in ids)
+    stack = {}
+    for i in ids:
+        d = np.asarray(descinfos[i]["endpoints_desc"], np.float32)
+        out = np.zeros((D, 2 * Lpad), np.float32)
+        out[:, :d.shape[1]] = d
+        stack[i] = out
+    result = {}
+    k = min(topk if topk > 0 else 1, Lpad)
+    for c0 in range(0, len(pairs), chunk):
+        sub = pairs[c0:c0 + chunk]
+        d1 = jnp.asarray(np.stack([stack[a] for a, _ in sub]))
+        d2 = jnp.asarray(np.stack([stack[b] for _, b in sub]))
+        n2 = jnp.asarray([n_lines[b] for _, b in sub], jnp.int32)
+        vals, idx = _batched_line_scores_topk(d1, d2, n2, k)
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        for p, (a, b) in enumerate(sub):
+            n1 = n_lines[a]
+            v = vals[p, :n1]
+            j = idx[p, :n1]
+            ii = np.repeat(np.arange(n1), k)
+            jj = j.reshape(-1)
+            good = v.reshape(-1) >= min_score
+            result[(a, b)] = np.stack([ii[good], jj[good]], 1)
+    return result
+
+
+@register_matcher("sinkhorn_endpoints")
 class SinkhornEndpointsMatcher(NNEndpointsMatcher):
-    """OT-based line matching on endpoint scores: the same selection
-    scheme as the reference's superglue_endpoints matcher
-    (matcher.py:114-253), with the log-domain Sinkhorn solver from
-    limap_tpu.point2d.matching in place of the learned GNN (whose
-    weights require network access)."""
+    """OT-based line matching on endpoint scores: the selection scheme
+    of the reference's superglue_endpoints matcher (matcher.py:114-253)
+    with the log-domain Sinkhorn solver but WITHOUT the learned GNN —
+    the weight-free fallback when no checkpoint is available."""
 
     def __init__(self, extractor, options=None):
         super().__init__(extractor, options)
@@ -179,7 +343,7 @@ class SinkhornEndpointsMatcher(NNEndpointsMatcher):
         self.match_threshold = options.get("match_threshold", 0.2)
 
     def get_module_name(self):
-        return "superglue_endpoints"
+        return "sinkhorn_endpoints"
 
     def match_pair(self, descinfo1, descinfo2) -> np.ndarray:
         from limap_tpu.point2d.matching import log_sinkhorn

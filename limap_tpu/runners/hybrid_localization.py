@@ -170,22 +170,54 @@ def hybrid_localization(cfg: dict, imagecols_db, imagecols_query,
         if isinstance(loc_cfg.get("epipolar_filter"), dict) \
         else loc_cfg.get("IoU_threshold", 0.2)
 
+    # optional learned 2D-2D matcher (reference hybrid_localization.py
+    # :191-244: cfg["localization"]["2d_matcher"] in ["epipolar",
+    # "nn_endpoints", "superglue_endpoints", ...])
+    matcher_name = loc_cfg.get("2d_matcher", "epipolar")
+    matcher = None
+    db_descinfos = {}
+    query_descinfos = {}
+    if matcher_name != "epipolar":
+        from limap_tpu.line2d import get_extractor, get_matcher
+        default_extractor = ("superpoint_endpoints"
+                             if matcher_name == "superglue_endpoints"
+                             else "patch_endpoints")
+        extractor = get_extractor(
+            loc_cfg.get("extractor", {"method": default_extractor}),
+            weight_path=cfg.get("weight_path"))
+        matcher = get_matcher(
+            {"method": matcher_name,
+             **loc_cfg.get("matcher_options", {})}, extractor,
+            weight_path=cfg.get("weight_path"))
+        for ic, segs_map, out in (
+                (imagecols_db, all_db_segs, db_descinfos),
+                (imagecols_query, all_query_segs, query_descinfos)):
+            for img_id in ic.get_img_ids():
+                out[img_id] = extractor.extract(
+                    ic.camview(img_id), segs_map[img_id])
+
     poses = {}
     for q_id in imagecols_query.get_img_ids():
         q_cam = imagecols_query.camview(q_id).cam
         q_pose = imagecols_query.campose(q_id)
         q_segs = all_query_segs[q_id]
 
-        # [3] 2D-2D matching vs retrieved neighbors (epipolar IoU)
+        # [3] 2D-2D matching vs retrieved neighbors (learned matcher or
+        # epipolar IoU)
         pairs_2to3: Dict[int, List[int]] = {}
         for db_id in retrieval.get(q_id, []):
             db_segs = all_db_segs.get(db_id)
             if db_segs is None or len(db_segs) == 0 or len(q_segs) == 0:
                 continue
-            p22 = match_line_2to2_epipolar_iou(
-                q_segs, db_segs, q_cam, q_pose,
-                imagecols_db.camview(db_id).cam,
-                imagecols_db.campose(db_id), iou_th)
+            if matcher is not None:
+                p22 = np.asarray(matcher.match_pair(
+                    query_descinfos[q_id],
+                    db_descinfos[db_id])).reshape(-1, 2)
+            else:
+                p22 = match_line_2to2_epipolar_iou(
+                    q_segs, db_segs, q_cam, q_pose,
+                    imagecols_db.camview(db_id).cam,
+                    imagecols_db.campose(db_id), iou_th)
             for rid, tid in match_line_2to3(p22, line2track, db_id):
                 pairs_2to3.setdefault(rid, []).append(tid)
 

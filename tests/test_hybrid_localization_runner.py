@@ -28,7 +28,14 @@ def test_umeyama(rng):
     assert abs(s - s_gt) < 1e-6
 
 
-def test_hybrid_localization_pipeline(rng, tmp_path, cfg_dir):
+@pytest.mark.parametrize("matcher_2d", [
+    "epipolar",
+    pytest.param("superglue_endpoints", marks=pytest.mark.slow)])
+def test_hybrid_localization_pipeline(rng, tmp_path, cfg_dir, matcher_2d):
+    """End-to-end hybrid localization; parameterized over the 2D-2D
+    line matcher: epipolar IoU and the learned superglue_endpoints
+    matcher (random GNN weights + topk candidates, pruned by the
+    reprojection filter — reference hybrid_localization.py:191-244)."""
     from limap_tpu.runners import hybrid_localization
     from limap_tpu.util.config import load_config
 
@@ -57,7 +64,9 @@ def test_hybrid_localization_pipeline(rng, tmp_path, cfg_dir):
 
     cfg = load_config(os.path.join(cfg_dir, "fitnmerge", "default.yaml"))
     cfg["output_dir"] = str(tmp_path / "loc_out")
-    cfg["localization"] = {"IoU_threshold": 0.2}
+    cfg["localization"] = {"IoU_threshold": 0.2,
+                           "2d_matcher": matcher_2d,
+                           "matcher_options": {"topk": 3}}
     cfg["estimation"] = {"ransac": {"method": "hybrid", "thres_point": 5.0,
                                     "thres_line": 5.0}}
     # query pose prior: perturbed GT (used only for epipolar matching)
