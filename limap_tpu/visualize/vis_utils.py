@@ -1,8 +1,69 @@
-"""2D drawing helpers (reference: src/limap/visualize/vis_utils.py)."""
+"""2D drawing + range helpers (reference:
+src/limap/visualize/vis_utils.py)."""
 
 from __future__ import annotations
 
 import numpy as np
+
+
+def random_color(rng=None):
+    rng = rng or np.random.default_rng()
+    return tuple(int(c) for c in rng.integers(64, 255, 3))
+
+
+# ------------------------------------------------- range culling utils
+def test_point_inside_ranges(point, ranges) -> bool:
+    """vis_utils.py:312-315."""
+    point = np.asarray(point)
+    return bool(np.all(point > ranges[0]) and np.all(point < ranges[1]))
+
+
+def test_line_inside_ranges(line, ranges) -> bool:
+    """vis_utils.py:317-321; accepts [2, 3] arrays or objects with
+    .start/.end."""
+    if hasattr(line, "start"):
+        s, e = np.asarray(line.start), np.asarray(line.end)
+    else:
+        arr = np.asarray(line).reshape(2, 3)
+        s, e = arr[0], arr[1]
+    return (test_point_inside_ranges(s, ranges)
+            and test_point_inside_ranges(e, ranges))
+
+
+def compute_robust_range(arr, range_robust=(0.05, 0.95),
+                         k_stretch: float = 2.0):
+    """Percentile range stretched by k (vis_utils.py:323-335)."""
+    arr_sorted = np.sort(np.asarray(arr).reshape(-1))
+    N = arr_sorted.shape[0]
+    start = arr_sorted[int(round((N - 1) * range_robust[0]))]
+    end = arr_sorted[int(round((N - 1) * range_robust[1]))]
+    mid = (start + end) / 2.0
+    half = k_stretch * (end - start) / 2.0
+    return mid - half, mid + half
+
+
+def compute_robust_range_points(points, range_robust=(0.05, 0.95),
+                                k_stretch: float = 2.0) -> np.ndarray:
+    pts = np.asarray(points).reshape(-1, 3)
+    lo_hi = [compute_robust_range(pts[:, k], range_robust, k_stretch)
+             for k in range(3)]
+    return np.asarray([[r[0] for r in lo_hi], [r[1] for r in lo_hi]])
+
+
+def compute_robust_range_lines(lines, range_robust=(0.05, 0.95),
+                               k_stretch: float = 2.0) -> np.ndarray:
+    arrs = [np.asarray(line.as_array() if hasattr(line, "as_array")
+                       else line).reshape(2, 3) for line in lines]
+    return compute_robust_range_points(np.concatenate(arrs),
+                                       range_robust, k_stretch)
+
+
+def filter_ranges(lines_np, counts_np, ranges):
+    """vis_utils.py:379-386."""
+    keep = [i for i in range(len(lines_np))
+            if test_line_inside_ranges(lines_np[i], ranges)]
+    return (np.asarray([lines_np[i] for i in keep]),
+            np.asarray([counts_np[i] for i in keep]))
 
 
 def draw_segments(img: np.ndarray, segs: np.ndarray,

@@ -3,7 +3,8 @@
 import argparse
 
 from limap_tpu.util import io as limapio
-from limap_tpu.visualize import BaseTrackVisualizer
+from limap_tpu.visualize import (BaseTrackVisualizer,
+                                 get_track_visualizer)
 
 
 def main():
@@ -19,13 +20,16 @@ def main():
         print(f"loaded {len(lines)} lines")
         return
     tracks = limapio.read_folder_linetracks(args.input_dir)
-    vis = BaseTrackVisualizer(tracks)
+    vis = get_track_visualizer(tracks)
     vis.report()
     if args.save_obj:
         vis.save_obj(args.save_obj, args.n_visible_views)
         print(f"wrote {args.save_obj}")
+    elif type(vis) is BaseTrackVisualizer:
+        print("no 3D backend (open3d/pyvista) available; "
+              "use --save_obj for offline viewing")
     else:
-        vis.vis_reconstruction(n_visible_views=args.n_visible_views)
+        vis.vis_all_lines(n_visible_views=args.n_visible_views)
 
 
 if __name__ == "__main__":
