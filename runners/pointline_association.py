@@ -21,11 +21,15 @@ def main():
     parser.add_argument("-i", "--input_folder", type=str, required=True,
                         help="finaltracks folder")
     parser.add_argument("--colmap_model_path", type=str, required=True)
-    parser.add_argument("-c", "--config_file", type=str, default=None)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parser.add_argument("-c", "--config_file", type=str,
+                        default=os.path.join(
+                            repo_root, "cfgs", "global_pl_association",
+                            "default.yaml"))
     parser.add_argument("--no_vp", action="store_true")
     args, unknown = parser.parse_known_args()
 
-    cfg = load_config(args.config_file) if args.config_file else {}
+    cfg = load_config(args.config_file)
     cfg = update_config(cfg, unknown, {})
     cfg.setdefault("output_dir", "tmp_pl_association")
 
@@ -35,7 +39,7 @@ def main():
 
     new_tracks, points, vps = pointline_association(
         cfg, imagecols, tracks, all_2d_segs, points3d, points2d,
-        use_vp=not args.no_vp)
+        use_vp=cfg.get("use_vp", True) and not args.no_vp)
     print(f"associated: {len(new_tracks)} tracks, {len(points)} points, "
           f"{len(vps)} vps")
 
