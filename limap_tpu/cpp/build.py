@@ -19,8 +19,18 @@ def build(verbose: bool = False) -> str:
     import numpy as np
     ext_suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
     out = os.path.join(here, f"_hostops{ext_suffix}")
-    if os.path.exists(out) and os.path.getmtime(out) > os.path.getmtime(src):
-        return out
+    # cache keyed by a content hash of the source (like
+    # ref_engine.srchash), never by mtime: a checked-out or copied
+    # stale binary would otherwise be silently accepted
+    import hashlib
+
+    stamp = out + ".srchash"
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()
+    if os.path.exists(out) and os.path.exists(stamp):
+        with open(stamp) as f:
+            if f.read().strip() == digest:
+                return out
     cmd = [
         os.environ.get("CXX", "g++"), "-O3", "-shared", "-fPIC",
         "-std=c++17",
@@ -31,6 +41,8 @@ def build(verbose: bool = False) -> str:
     if verbose:
         print(" ".join(cmd))
     subprocess.run(cmd, check=True, capture_output=not verbose)
+    with open(stamp, "w") as f:
+        f.write(digest)
     return out
 
 

@@ -15,8 +15,14 @@ representation with shared TPU-native machinery:
   attraction-distance heatmap exp(-|d|) — junction-pair proposals
   verified by field support is exactly HAWP's proposal+verification
   scheme expressed through batched kernels;
-- a strict checkpoint loader keyed to this module's spec (adaptable
-  via ``key_map`` when real weights exist).
+- a strict checkpoint loader keyed to THIS MODULE'S OWN spec
+  (adaptable via ``key_map``).
+
+NOT checkpoint-compatible with the published HAWPv3 weights: the
+upstream network lives in the external ``hawp`` pip package (absent
+in-env and not vendored by the reference), so no verifiable parity
+target exists.  This is a HAWP-style (representation-inspired)
+detector — see README "Front-end model zoo: parity status".
 """
 
 from __future__ import annotations

@@ -12,8 +12,14 @@ no region growing, which is why it maps so well to TPU:
   1ch, upsampled) + displacement head (4ch);
 - detection: jitted top-K center NMS (max-pool equality), segments
   assembled from the displacement field in one gather;
-- strict checkpoint loader keyed to this module's spec (``key_map``
-  adaptable when real weights exist; zero-egress env has none).
+- strict checkpoint loader keyed to THIS MODULE'S OWN spec
+  (``key_map`` adaptable).
+
+NOT checkpoint-compatible with the published TP-LSD weights: the
+upstream Res320 network lives in the external ``tp_lsd`` pip package
+(absent in-env and not vendored by the reference), so no verifiable
+parity target exists.  This is a TP-LSD-style (representation-
+inspired) detector — see README "Front-end model zoo: parity status".
 """
 
 from __future__ import annotations

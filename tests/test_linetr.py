@@ -8,6 +8,8 @@ import pytest
 
 import tests.conftest  # noqa: F401
 
+pytestmark = pytest.mark.slow
+
 from limap_tpu.line2d import linetr
 
 

@@ -3,6 +3,7 @@ with outliers (the engine's analog of the reference's localization
 fixture test, runners/tests/localization.py)."""
 
 import numpy as np
+import pytest
 from scipy.spatial.transform import Rotation
 
 from limap_tpu.base.camera import Camera, CameraPose
@@ -61,6 +62,7 @@ def test_jointloc_refines_noisy_pose(rng):
     assert re < 0.1
 
 
+@pytest.mark.slow
 def test_pnpl_ransac_with_outliers(rng):
     camera, pose_gt, p3ds, p2ds, l3ds, l3d_ids, l2ds = make_problem(rng)
     cfg = {"ransac": {"method": "hybrid", "thres_point": 5.0,
@@ -86,6 +88,7 @@ def test_pnpl_direct_mode(rng):
     assert stats is None
 
 
+@pytest.mark.slow
 def test_lines_improve_point_poor_pose(rng):
     """With very few points, adding lines should help (the reference's
     point-only vs hybrid comparison, README.md:88-92)."""

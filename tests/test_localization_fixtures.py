@@ -33,6 +33,7 @@ def pose_errors(pose, pose_gt):
     return e_t, e_R
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("path", FIXTURES, ids=["stairs_1", "stairs_2"])
 def test_hybrid_pnpl_on_stairs_fixture(path):
     data = load_localization_fixture(path)

@@ -123,6 +123,7 @@ def test_line2d_to_normal_is_perpendicular():
                        atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pl_ransac_line_only_and_mixed():
     """Full PnPL front door in pure-line / mixed / few-point regimes."""
     from limap_tpu.base.camera import Camera

@@ -9,6 +9,8 @@ import pytest
 
 import tests.conftest  # noqa: F401  (forces CPU backend)
 
+pytestmark = pytest.mark.slow
+
 
 def _load_torch_sold2():
     """Instantiate the reference torch SOLD2Net (random init)."""
