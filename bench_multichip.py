@@ -17,9 +17,10 @@ import json
 import os
 import time
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
-    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import numpy as np
@@ -27,6 +28,8 @@ import numpy as np
 
 def main():
     import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
     from limap_tpu.base.camera import Camera, CameraPose
     from limap_tpu.base.image_collection import (CameraImage,
