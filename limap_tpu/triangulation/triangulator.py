@@ -511,9 +511,11 @@ class GlobalLineTriangulator:
         from limap_tpu.ops import hostops
         words, overflow = hostops.bucket_scene(key, vals, n * L, Tc)
         words = words.reshape(n, L * Tc)
-        if L <= 2046 and K <= 32:
+        if L <= 2048 and K <= 31:
             # uint16 re-encode ((b << 5) | slot, 0xFFFF = empty):
-            # halves the dominant host->device transfer
+            # halves the dominant host->device transfer.  With K <= 31
+            # slot 31 never occurs, so the sentinel cannot collide even
+            # at b = L-1 = 2047.
             w16 = ((words >> 7) << 5 | (words & 0x7F)).astype(np.uint16)
             words = np.where(words < 0, np.uint16(0xFFFF), w16)
         meta = np.full((n, K + 1), -1, np.int32)
