@@ -286,7 +286,7 @@ def _batched_line_scores_topk(d1, d2, n2, k):
 
 
 def batched_match_pairs(descinfos: dict, pairs, topk: int = 10,
-                        min_score: float = 0.2, chunk: int = 256):
+                        min_score: float = 0.2, chunk: int = 64):
     """Match many image pairs in a few device dispatches.
 
     descinfos: {img_id: descinfo}; pairs: [(id1, id2), ...].

@@ -40,6 +40,13 @@ from limap_tpu.ops.connected_components import connected_components
 from limap_tpu.triangulation import functions as trifun
 
 
+# compiled-kernel cache shared across triangulator instances (keyed by
+# every static parameter the kernel closures capture); the runners
+# create one instance per scene and a per-instance cache would force a
+# full recompile per pipeline run (tens of seconds over the TPU tunnel)
+_KERNEL_CACHE: dict = {}
+
+
 @dataclasses.dataclass(frozen=True)
 class TriangulatorConfig:
     """BaseLineTriangulatorConfig + GlobalLineTriangulatorConfig
@@ -104,7 +111,6 @@ class GlobalLineTriangulator:
         self.cfg = cfg
         self.ranges = None
         self.vpresults = None
-        self._compiled = {}
 
     # ------------------------------------------------------------ setup
     def init(self, all_2d_segs: Dict[int, np.ndarray],
@@ -399,10 +405,15 @@ class GlobalLineTriangulator:
         return run
 
     def _get_bucket_kernel(self, K: int, T: int):
-        key = ("bucket", K, T)
-        if key not in self._compiled:
-            self._compiled[key] = jax.jit(self._bucket_kernel(K, T))
-        return self._compiled[key]
+        # MODULE-level cache: a fresh triangulator instance (one per
+        # scene in the runners) must reuse the compiled kernel — a
+        # per-instance cache re-jits on every pipeline invocation,
+        # which costs tens of seconds per compile over the TPU tunnel
+        key = ("bucket", K, T, self.L, repr(self.cfg),
+               self.vpresults is not None)
+        if key not in _KERNEL_CACHE:
+            _KERNEL_CACHE[key] = jax.jit(self._bucket_kernel(K, T))
+        return _KERNEL_CACHE[key]
 
     def triangulate_all_mesh(self, matches_by_image, mesh,
                              axis: str = None) -> None:
@@ -741,19 +752,20 @@ class GlobalLineTriangulator:
         b_unc = self.best_unc.reshape(I * L)
         b_score = self.best_score.reshape(I * L)
 
-        if "edge_score" not in self._compiled:
+        ekey = ("edge_score", repr(cfg3d_cluster))
+        if ekey not in _KERNEL_CACHE:
             @partial(jax.jit, static_argnums=())
             def edge_score_kernel(s1, e1, u1, s2, e2, u2):
                 l1 = Segments(s1, e1, uncertainty=u1)
                 l2 = Segments(s2, e2, uncertainty=u2)
                 return score_3d(l1, l2, cfg3d_cluster)
 
-            self._compiled["edge_score"] = edge_score_kernel
+            _KERNEL_CACHE[ekey] = edge_score_kernel
 
         E_bucket = int(2 ** np.ceil(np.log2(max(len(und), 32))))
         und_pad = np.zeros((E_bucket, 2), np.int64)
         und_pad[:len(und)] = und
-        escore = np.asarray(self._compiled["edge_score"](
+        escore = np.asarray(_KERNEL_CACHE[ekey](
             jnp.asarray(b_start[und_pad[:, 0]]),
             jnp.asarray(b_end[und_pad[:, 0]]),
             jnp.asarray(b_unc[und_pad[:, 0]]),
