@@ -166,10 +166,11 @@ def run(n_views=N_VIEWS, repeats=1, include_baseline=True,
             segs[i] = detector.take_longest_k(s)[0]
         t["detect"] = time.perf_counter() - t0
 
-        # [2] endpoint descriptors + batched neighbor matching
+        # [2] endpoint descriptors (one vmapped dispatch for all
+        # images) + batched neighbor matching
+        from limap_tpu.line2d.endpoints import compute_descinfos_batch
         t0 = time.perf_counter()
-        descinfos = {i: extractor.compute_descinfo(imgs[i], segs[i])
-                     for i in imgs}
+        descinfos = compute_descinfos_batch(imgs, segs)
         t["extract"] = time.perf_counter() - t0
         pairs = [(i, j) for i in sorted(nbrs) for j in nbrs[i]]
         t0 = time.perf_counter()

@@ -118,6 +118,63 @@ class PatchEndpointsExtractor(BaseDetector):
                 "lines_score": score, "endpoints_desc": desc.T}
 
 
+_sample_patch_descriptors_batch = jax.jit(jax.vmap(
+    _sample_patch_descriptors))
+
+
+def compute_descinfos_batch(imgs: dict, segs: dict) -> dict:
+    """Patch-endpoint descinfos for MANY same-shape images in one
+    vmapped device dispatch (vs one round trip per image over the
+    tunnel).  imgs: {img_id: [H, W] array}; segs: {img_id: [N, >=4]}.
+    Returns {img_id: descinfo} with the same layout as
+    PatchEndpointsExtractor.compute_descinfo."""
+    ids = sorted(imgs.keys())
+    Nmax = max(max((len(segs[i]) for i in ids), default=1), 1)
+    Npad = 1 << int(np.ceil(np.log2(max(Nmax, 2))))
+    B = len(ids)
+    img0 = np.asarray(imgs[ids[0]], np.float32)
+    H, W = img0.shape[:2]
+    img_stack = np.zeros((B, H, W), np.float32)
+    ep = np.zeros((B, 2 * Npad, 2), np.float32)
+    dirs = np.zeros((B, 2 * Npad, 2), np.float32)
+    dirs[..., 0] = 1.0
+    metas = {}
+    for r, i in enumerate(ids):
+        im = np.asarray(imgs[i], np.float32)
+        if im.ndim == 3:
+            im = im.mean(-1)
+        if im.max() > 1.5:
+            im = im / 255.0
+        img_stack[r] = im
+        s = np.asarray(segs[i])
+        n = len(s)
+        metas[i] = (r, n, s)
+        if n:
+            lines = s[:, :4].reshape(-1, 2)
+            d = s[:, 2:4] - s[:, :2]
+            d = d / (np.linalg.norm(d, axis=1, keepdims=True) + 1e-8)
+            dd = np.stack([d, -d], axis=1).reshape(-1, 2)
+            ep[r, :2 * n] = lines
+            dirs[r, :2 * n] = dd
+    desc_all = np.asarray(_sample_patch_descriptors_batch(
+        jnp.asarray(img_stack), jnp.asarray(ep), jnp.asarray(dirs)))
+    out = {}
+    for i in ids:
+        r, n, s = metas[i]
+        if n == 0:
+            out[i] = {"image_shape": (H, W), "lines": np.zeros((0, 2)),
+                      "lines_score": np.zeros((0,)),
+                      "endpoints_desc": np.zeros((PATCH * PATCH + 2, 0))}
+            continue
+        lengths = np.linalg.norm(s[:, 2:4] - s[:, :2], axis=1)
+        score = s[:, 4] if s.shape[1] > 4 else np.sqrt(lengths)
+        score = score / (score.max() + 1e-8)
+        out[i] = {"image_shape": (H, W), "lines": s[:, :4].reshape(-1, 2),
+                  "lines_score": score,
+                  "endpoints_desc": desc_all[r, :2 * n].T}
+    return out
+
+
 @jax.jit
 def _line_scores(desc1: jnp.ndarray, desc2: jnp.ndarray) -> jnp.ndarray:
     """[D, 2*N1] x [D, 2*N2] endpoint descs -> [N1, N2] line scores
@@ -269,11 +326,16 @@ class SuperGlueEndpointsMatcher(BaseMatcher):
                          idx.reshape(-1)], 1)
 
 
-@partial(jax.jit, static_argnums=(3,))
-def _batched_line_scores_topk(d1, d2, n2, k):
-    """[P, D, 2L] x [P, D, 2L] stacked endpoint descs -> per-line top-k
-    (values, idx) [P, L, k].  One device dispatch for a whole
-    neighbor-pair batch (vs per-pair round trips over the tunnel)."""
+@partial(jax.jit, static_argnums=(4,))
+def _batched_line_scores_topk(stack, rows1, rows2, n2, k):
+    """Gather pair descriptors from the device-resident image stack
+    ([I, D, 2L]) and score: per-line top-k (values, idx) [P, L, k].
+    One dispatch for a whole neighbor-pair chunk; every image's
+    descriptors upload ONCE (each image appears in ~n_neighbors pairs,
+    so per-pair stacking re-shipped the same bytes that many times over
+    the tunnel)."""
+    d1 = stack[rows1]  # [P, D, 2L]
+    d2 = stack[rows2]
     s = jnp.einsum("pdi,pdj->pij", d1, d2)
     P, twoL = s.shape[0], s.shape[1]
     L = twoL // 2
@@ -293,29 +355,35 @@ def batched_match_pairs(descinfos: dict, pairs, topk: int = 10,
     Returns {(id1, id2): [M, 2] int matches}.  TPU-first equivalent of
     the reference's joblib match_all_neighbors fan-out
     (line2d/base_matcher.py:117): descriptors are padded to a pow-2
-    line bucket, stacked, and scored with one einsum + top_k per chunk.
+    line bucket, uploaded once as one [I, D, 2L] stack, and scored with
+    one gather + einsum + top_k per chunk of pairs.
     """
     ids = sorted(descinfos.keys())
+    id2row = {img_id: r for r, img_id in enumerate(ids)}
     n_lines = {i: np.asarray(descinfos[i]["endpoints_desc"]).shape[1] // 2
                for i in ids}
     Lmax = max(max(n_lines.values()), 1)
     Lpad = 1 << int(np.ceil(np.log2(max(Lmax, 2))))
     D = max(np.asarray(descinfos[i]["endpoints_desc"]).shape[0]
             for i in ids)
-    stack = {}
-    for i in ids:
+    stack = np.zeros((len(ids), D, 2 * Lpad), np.float32)
+    for r, i in enumerate(ids):
         d = np.asarray(descinfos[i]["endpoints_desc"], np.float32)
-        out = np.zeros((D, 2 * Lpad), np.float32)
-        out[:, :d.shape[1]] = d
-        stack[i] = out
+        stack[r, :d.shape[0], :d.shape[1]] = d
+    d_stack = jax.device_put(stack)
     result = {}
     k = min(topk if topk > 0 else 1, Lpad)
+    pend = []
     for c0 in range(0, len(pairs), chunk):
         sub = pairs[c0:c0 + chunk]
-        d1 = jnp.asarray(np.stack([stack[a] for a, _ in sub]))
-        d2 = jnp.asarray(np.stack([stack[b] for _, b in sub]))
-        n2 = jnp.asarray([n_lines[b] for _, b in sub], jnp.int32)
-        vals, idx = _batched_line_scores_topk(d1, d2, n2, k)
+        pad = chunk - len(sub)  # pad the tail chunk: one compile total
+        r1 = [id2row[a] for a, _ in sub] + [0] * pad
+        r2 = [id2row[b] for _, b in sub] + [0] * pad
+        nn = [n_lines[b] for _, b in sub] + [0] * pad
+        pend.append((sub, _batched_line_scores_topk(
+            d_stack, jnp.asarray(r1, jnp.int32),
+            jnp.asarray(r2, jnp.int32), jnp.asarray(nn, jnp.int32), k)))
+    for sub, (vals, idx) in pend:
         vals = np.asarray(vals)
         idx = np.asarray(idx)
         for p, (a, b) in enumerate(sub):

@@ -134,3 +134,39 @@ def test_sinkhorn_endpoint_matcher(rng):
     matches = matcher.match_pair(d, d)
     correct = (matches[:, 0] == matches[:, 1]).mean() if len(matches) else 0
     assert len(matches) >= 4 and correct > 0.7
+
+
+def test_batched_endpoint_descinfos_match_per_image(rng):
+    """compute_descinfos_batch == per-image compute_descinfo, and
+    batched_match_pairs reproduces per-pair matching."""
+    from limap_tpu.line2d.endpoints import (PatchEndpointsExtractor,
+                                            batched_match_pairs,
+                                            compute_descinfos_batch)
+    imgs = {}
+    segs = {}
+    for i in range(3):
+        imgs[i] = (rng.uniform(0, 255, size=(64, 80))).astype(np.uint8)
+        s = rng.uniform(5, 60, size=(4 + i, 4))
+        segs[i] = np.concatenate(
+            [s, rng.uniform(0.5, 1, size=(len(s), 1))], 1)
+    ex = PatchEndpointsExtractor({})
+    batch = compute_descinfos_batch(imgs, segs)
+    for i in imgs:
+        single = ex.compute_descinfo(imgs[i], segs[i])
+        np.testing.assert_allclose(batch[i]["endpoints_desc"],
+                                   single["endpoints_desc"], atol=1e-5)
+        np.testing.assert_allclose(batch[i]["lines_score"],
+                                   single["lines_score"], atol=1e-6)
+    pairs = [(0, 1), (1, 2), (2, 0)]
+    res = batched_match_pairs(batch, pairs, topk=2, min_score=-10.0)
+    for (a, b) in pairs:
+        d1 = batch[a]["endpoints_desc"]
+        d2 = batch[b]["endpoints_desc"]
+        s = d1.T @ d2
+        n1, n2 = s.shape[0] // 2, s.shape[1] // 2
+        s = s.reshape(n1, 2, n2, 2)
+        ls = 0.5 * np.maximum(s[:, 0, :, 0] + s[:, 1, :, 1],
+                              s[:, 0, :, 1] + s[:, 1, :, 0])
+        expect = np.argsort(-ls, 1)[:, :2]
+        got = res[(a, b)].reshape(n1, 2, 2)[..., 1]
+        assert np.array_equal(np.sort(expect, 1), np.sort(got, 1))
