@@ -138,7 +138,6 @@ def run(n_views=N_VIEWS, repeats=1, include_baseline=True,
                                           tracks_to_batch)
     from limap_tpu.base.line_linker import LineLinker3dConfig
     from limap_tpu.line2d import get_detector, get_extractor
-    from limap_tpu.line2d.endpoints import batched_match_pairs
     from limap_tpu.merging.merging import (filter_tracks_by_overlap,
                                            filter_tracks_by_reprojection,
                                            filter_tracks_by_sensitivity,
@@ -166,20 +165,13 @@ def run(n_views=N_VIEWS, repeats=1, include_baseline=True,
             segs[i] = detector.take_longest_k(s)[0]
         t["detect"] = time.perf_counter() - t0
 
-        # [2] endpoint descriptors (one vmapped dispatch for all
-        # images) + batched neighbor matching
-        from limap_tpu.line2d.endpoints import compute_descinfos_batch
+        # [2] fused describe+match: descriptors stay device-resident
+        # between extraction and pair scoring
+        from limap_tpu.line2d.endpoints import match_all_neighbors_batched
         t0 = time.perf_counter()
-        descinfos = compute_descinfos_batch(imgs, segs)
-        t["extract"] = time.perf_counter() - t0
-        pairs = [(i, j) for i in sorted(nbrs) for j in nbrs[i]]
-        t0 = time.perf_counter()
-        pair_matches = batched_match_pairs(descinfos, pairs, topk=2,
-                                           min_score=0.5)
-        matches_by_image = {}
-        for (a, b), m in pair_matches.items():
-            matches_by_image.setdefault(a, {})[b] = m
-        t["match"] = time.perf_counter() - t0
+        matches_by_image = match_all_neighbors_batched(
+            imgs, segs, nbrs, topk=2, min_score=0.5)
+        t["describe_match"] = time.perf_counter() - t0
 
         # [3] triangulation + scoring (device), [4] track building
         tri = GlobalLineTriangulator(

@@ -194,6 +194,78 @@ def compute_descinfos_batch(imgs: dict, segs: dict) -> dict:
     return out
 
 
+def match_all_neighbors_batched(imgs: dict, segs: dict, nbrs: dict,
+                                topk: int = 2, min_score: float = 0.5,
+                                chunk: int = 64) -> dict:
+    """Fused describe+match: descriptors are computed on device and fed
+    straight into the pair scorer WITHOUT a host round trip (the
+    [B, 2L, D] descriptor tensor is ~100 MB at protocol scale; D2H over
+    the tunnel runs at ~30 MB/s).  Returns {img_id: {nbr_id: [M, 2]}}.
+    """
+    ids = sorted(imgs.keys())
+    id2row = {img_id: r for r, img_id in enumerate(ids)}
+    n_lines = {i: len(segs[i]) for i in ids}
+    Nmax = max(max(n_lines.values()), 1)
+    Npad = 1 << int(np.ceil(np.log2(max(Nmax, 2))))
+    B = len(ids)
+    img0 = np.asarray(imgs[ids[0]])
+    H, W = img0.shape[:2]
+    all_u8 = all(np.asarray(imgs[i]).dtype == np.uint8
+                 and np.asarray(imgs[i]).ndim == 2 for i in ids)
+    img_stack = np.zeros((B, H, W), np.uint8 if all_u8 else np.float32)
+    ep = np.zeros((B, 2 * Npad, 2), np.float32)
+    dirs = np.zeros((B, 2 * Npad, 2), np.float32)
+    dirs[..., 0] = 1.0
+    for r, i in enumerate(ids):
+        im = np.asarray(imgs[i])
+        if not all_u8:
+            im = np.asarray(im, np.float32)
+            if im.ndim == 3:
+                im = im.mean(-1)
+            if im.max() > 1.5:
+                im = im / 255.0
+        img_stack[r] = im
+        s = np.asarray(segs[i])
+        if len(s):
+            ep[r, :2 * len(s)] = s[:, :4].reshape(-1, 2)
+            d = s[:, 2:4] - s[:, :2]
+            d = d / (np.linalg.norm(d, axis=1, keepdims=True) + 1e-8)
+            dirs[r, :2 * len(s)] = np.stack([d, -d], 1).reshape(-1, 2)
+    desc = _sample_patch_descriptors_batch(
+        jax.device_put(img_stack.reshape(-1)),
+        jax.device_put(ep.reshape(-1)),
+        jax.device_put(dirs.reshape(-1)), B, H, W)  # [B, 2Npad, D]
+    D = desc.shape[-1]
+    d_stack = jnp.transpose(desc, (0, 2, 1)).reshape(-1)  # device-side
+
+    pairs = [(i, j) for i in sorted(nbrs) for j in nbrs[i]]
+    k = min(topk if topk > 0 else 1, Npad)
+    pend = []
+    for c0 in range(0, len(pairs), chunk):
+        sub = pairs[c0:c0 + chunk]
+        pad = chunk - len(sub)
+        r1 = [id2row[a] for a, _ in sub] + [0] * pad
+        r2 = [id2row[b] for _, b in sub] + [0] * pad
+        nn = [n_lines[b] for _, b in sub] + [0] * pad
+        pend.append((sub, _batched_line_scores_topk(
+            d_stack, jnp.asarray(r1, jnp.int32),
+            jnp.asarray(r2, jnp.int32), jnp.asarray(nn, jnp.int32), k,
+            D, 2 * Npad)))
+    result = {}
+    for sub, (vals, idx) in pend:
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        for p, (a, b) in enumerate(sub):
+            n1 = n_lines[a]
+            v = vals[p, :n1].reshape(-1)
+            jj = idx[p, :n1].reshape(-1)
+            ii = np.repeat(np.arange(n1), k)
+            good = v >= min_score
+            result.setdefault(a, {})[b] = np.stack(
+                [ii[good], jj[good]], 1)
+    return result
+
+
 @jax.jit
 def _line_scores(desc1: jnp.ndarray, desc2: jnp.ndarray) -> jnp.ndarray:
     """[D, 2*N1] x [D, 2*N2] endpoint descs -> [N1, N2] line scores

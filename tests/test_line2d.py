@@ -170,3 +170,22 @@ def test_batched_endpoint_descinfos_match_per_image(rng):
         expect = np.argsort(-ls, 1)[:, :2]
         got = res[(a, b)].reshape(n1, 2, 2)[..., 1]
         assert np.array_equal(np.sort(expect, 1), np.sort(got, 1))
+
+
+def test_match_all_neighbors_batched_equals_two_stage(rng):
+    """Fused device-resident describe+match == separate batch extract
+    + batched pair matching."""
+    from limap_tpu.line2d.endpoints import (batched_match_pairs,
+                                            compute_descinfos_batch,
+                                            match_all_neighbors_batched)
+    imgs = {i: rng.uniform(0, 255, size=(64, 80)).astype(np.uint8)
+            for i in range(4)}
+    segs = {i: rng.uniform(5, 60, size=(5 + i, 4)) for i in range(4)}
+    nbrs = {i: [j for j in range(4) if j != i] for i in range(4)}
+    fused = match_all_neighbors_batched(imgs, segs, nbrs, topk=2,
+                                        min_score=-10.0)
+    descinfos = compute_descinfos_batch(imgs, segs)
+    pairs = [(i, j) for i in sorted(nbrs) for j in nbrs[i]]
+    two = batched_match_pairs(descinfos, pairs, topk=2, min_score=-10.0)
+    for (a, b) in pairs:
+        assert np.array_equal(fused[a][b], two[(a, b)]), (a, b)
