@@ -137,7 +137,7 @@ def run(n_views=N_VIEWS, repeats=1, include_baseline=True,
     from limap_tpu.base.linetrack import (batch_to_tracks,
                                           tracks_to_batch)
     from limap_tpu.base.line_linker import LineLinker3dConfig
-    from limap_tpu.line2d import get_detector, get_extractor
+    from limap_tpu.line2d import get_detector
     from limap_tpu.merging.merging import (filter_tracks_by_overlap,
                                            filter_tracks_by_reprojection,
                                            filter_tracks_by_sensitivity,
@@ -150,7 +150,6 @@ def run(n_views=N_VIEWS, repeats=1, include_baseline=True,
 
     imagecols, imgs, nbrs, gt = build_scene(n_views)
     detector = get_detector({"method": "lsd"})
-    extractor = get_extractor({"method": "patch_endpoints"})
     id2row = imagecols.img_id_to_index()
     views = imagecols.batch()
 
@@ -243,7 +242,7 @@ def run(n_views=N_VIEWS, repeats=1, include_baseline=True,
             res = ref_engine.run(
                 views_cpp, segs, matches_by_image, repeats=1,
                 cfg=TriangulatorConfig(max_tris_per_node=32))
-            base_total = (t["detect"] + t["extract"] + t["match"]
+            base_total = (t["detect"] + t["describe_match"]
                           + res["triangulate_s"]
                           + res.get("tracks_s", 0.0))
             out["baseline_total_s"] = base_total
