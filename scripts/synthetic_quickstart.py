@@ -54,12 +54,15 @@ def main():
     imagecols = ImageCollection(imagecols.cameras, images)
 
     cfg = load_config(args.config_file)
-    cfg = update_config(cfg, unknown, {})
     cfg["output_dir"] = args.output_dir
     cfg["max_image_dim"] = -1
+    # quickstart default: host LSD front-end (the cfg zoo default is
+    # tpu_lsd, which is built for the accelerator — on a 2-core CPU
+    # host its grid-CC iterations take minutes per image); override
+    # with --line2d.detector.method tpu_lsd etc.
     cfg.setdefault("line2d", {}).setdefault("detector", {})
-    cfg["line2d"]["detector"]["method"] = \
-        cfg["line2d"]["detector"].get("method", "lsd")
+    cfg["line2d"]["detector"]["method"] = "lsd"
+    cfg = update_config(cfg, unknown, {})
     tracks = line_triangulation(cfg, imagecols, neighbors=nbrs)
 
     q = bench_pipeline.quality_eval(
