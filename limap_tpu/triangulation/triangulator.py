@@ -337,35 +337,49 @@ class GlobalLineTriangulator:
             l2s_all, l2e_all = tile3(l2.start), tile3(l2.end)
             kv2, qv2, tv2 = tile3(v2.kvec), tile3(v2.qvec), tile3(v2.tvec)
 
-            # ---- scoring: [N, TT, TT] pairwise min(3D, 2D) linker ----
-            l_i = Segments(tri_start[:, :, None], tri_end[:, :, None],
-                           depths=tri_depths[:, :, None],
-                           uncertainty=tri_unc[:, :, None])
-            l_j = Segments(tri_start[:, None], tri_end[:, None],
-                           depths=tri_depths[:, None],
-                           uncertainty=tri_unc[:, None])
-            s3d = score_3d(l_i, l_j, linker3d_scoring)
+            # ---- scoring: [TT, TT, N] pairwise min(3D, 2D) linker ----
+            # N (tens of thousands) is the MINOR dimension: fp32 tiles
+            # are (8, 128), so a [N, TT, TT] layout with TT=24/32 lanes
+            # pads every row to 128 (4-5x wasted VPU lanes + VMEM
+            # traffic); with N minor every tile is fully packed.
+            tS = jnp.transpose(tri_start, (1, 0, 2))    # [TT, N, 3]
+            tE = jnp.transpose(tri_end, (1, 0, 2))
+            tD = jnp.transpose(tri_depths, (1, 0, 2))
+            tU = tri_unc.T                               # [TT, N]
+            tOK = tri_ok.T
+            slotT = slot_all.T                           # [TT, N]
+            l_i = Segments(tS[:, None], tE[:, None], depths=tD[:, None],
+                           uncertainty=tU[:, None])      # [TT, 1, N]
+            l_j = Segments(tS[None], tE[None], depths=tD[None],
+                           uncertainty=tU[None])         # [1, TT, N]
+            s3d = score_3d(l_i, l_j, linker3d_scoring)   # [TT, TT, N]
             # 2D: project tri_i into tri_j's neighbor view, compare with
             # tri_j's matched 2D segment (global_line_triangulator.cc:100-102)
-            vj = CameraViewsBatch(kv2[:, None], qv2[:, None], tv2[:, None])
+            vj = CameraViewsBatch(
+                jnp.transpose(kv2, (1, 0, 2))[None],
+                jnp.transpose(qv2, (1, 0, 2))[None],
+                jnp.transpose(tv2, (1, 0, 2))[None])     # [1, TT, N]
             proj = lgeo.project_segments(
-                Segments(tri_start[:, :, None], tri_end[:, :, None]), vj)
-            s2d = score_2d(proj, Segments(l2s_all[:, None],
-                                          l2e_all[:, None]), cfg.linker2d)
+                Segments(tS[:, None], tE[:, None]), vj)
+            s2d = score_2d(
+                proj,
+                Segments(jnp.transpose(l2s_all, (1, 0, 2))[None],
+                         jnp.transpose(l2e_all, (1, 0, 2))[None]),
+                cfg.linker2d)
             s = jnp.minimum(s3d, s2d)
             # i == j pairs share a slot, so the slot test also excludes
             # the diagonal
-            pair_ok = (tri_ok[:, :, None] & tri_ok[:, None, :]
-                       & (slot_all[:, :, None] != slot_all[:, None, :]))
+            pair_ok = (tOK[:, None] & tOK[None]
+                       & (slotT[:, None] != slotT[None]))
             s = jnp.where(pair_ok, s, 0.0)
             # one support per neighbor image: per-slot masked max,
             # summed over the K static slots (cc:109-112)
-            slot_j = slot_all[:, None, :]
-            scores = jnp.zeros((N, TT), s.dtype)
+            slot_j = slotT[None]                         # [1, TT, N]
+            scoresT = jnp.zeros((TT, N), s.dtype)
             for k in range(K):
-                scores = scores + jnp.max(
-                    jnp.where(slot_j == k, s, 0.0), axis=-1)
-            scores = jnp.where(tri_ok, scores, -1.0)
+                scoresT = scoresT + jnp.max(
+                    jnp.where(slot_j == k, s, 0.0), axis=1)
+            scores = jnp.where(tri_ok, scoresT.T, -1.0)  # [N, TT]
 
             # ---- best tri + valid edges (cc:118-153) ----
             r = jnp.arange(N, dtype=jnp.int32)
