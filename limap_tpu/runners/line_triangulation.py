@@ -24,6 +24,7 @@ from limap_tpu.optimize import (LineBAConfig, get_output_tracks,
 from limap_tpu.triangulation.triangulator import (GlobalLineTriangulator,
                                                   TriangulatorConfig)
 from limap_tpu.util import io as limapio
+from limap_tpu.util.profiler import StageProfiler
 
 DEFAULT_VAR2D = {"lsd": 2.0, "tpu_lsd": 2.0, "sold2": 5.0, "hawpv3": 5.0,
                  "tp_lsd": 5.0, "deeplsd": 4.0}
@@ -34,6 +35,7 @@ def line_triangulation(cfg: dict, imagecols, neighbors: Optional[dict] = None,
                        ) -> List[LineTrack]:
     """Main interface of multi-view line triangulation."""
     cfg = runners.setup(cfg)
+    prof = StageProfiler()
     detector = cfg["line2d"]["detector"]["method"]
     if cfg["triangulation"].get("var2d", -1) == -1:
         cfg["triangulation"]["var2d"] = DEFAULT_VAR2D.get(detector, 2.0)
@@ -65,13 +67,15 @@ def line_triangulation(cfg: dict, imagecols, neighbors: Optional[dict] = None,
 
     # [B] 2D segments (+ descriptors unless exhaustive matching)
     use_exhaustive = cfg["triangulation"].get("use_exhaustive_matcher", False)
-    all_2d_segs, descinfo_folder = runners.compute_2d_segs(
-        cfg, imagecols, compute_descinfo=not use_exhaustive)
+    with prof.stage("detect_describe"):
+        all_2d_segs, descinfo_folder = runners.compute_2d_segs(
+            cfg, imagecols, compute_descinfo=not use_exhaustive)
 
     # [C] matches
     if not use_exhaustive:
-        matches_dir = runners.compute_matches(
-            cfg, descinfo_folder, imagecols.get_img_ids(), neighbors)
+        with prof.stage("match"):
+            matches_dir = runners.compute_matches(
+                cfg, descinfo_folder, imagecols.get_img_ids(), neighbors)
 
     # [D] triangulation
     tri_cfg = TriangulatorConfig.from_dict(cfg["triangulation"])
@@ -86,19 +90,21 @@ def line_triangulation(cfg: dict, imagecols, neighbors: Optional[dict] = None,
             all_2d_segs, imagecols.get_map_camviews())
         triangulator.init_vp_results(vpresults)
 
-    if use_exhaustive:
-        for img_id in imagecols.get_img_ids():
-            triangulator.triangulate_image_exhaustive(img_id,
-                                                      neighbors[img_id])
-    else:
-        matches_by_image = {
-            img_id: np.load(
-                os.path.join(matches_dir, f"matches_{img_id}.npy"),
-                allow_pickle=True).item()
-            for img_id in imagecols.get_img_ids()}
-        # batched fast path: G independent images per device call
-        triangulator.triangulate_all(matches_by_image)
-    linetracks = triangulator.compute_line_tracks()
+    with prof.stage("triangulate_score"):
+        if use_exhaustive:
+            for img_id in imagecols.get_img_ids():
+                triangulator.triangulate_image_exhaustive(
+                    img_id, neighbors[img_id])
+        else:
+            matches_by_image = {
+                img_id: np.load(
+                    os.path.join(matches_dir, f"matches_{img_id}.npy"),
+                    allow_pickle=True).item()
+                for img_id in imagecols.get_img_ids()}
+            # batched fast path: G independent images per device call
+            triangulator.triangulate_all(matches_by_image)
+    with prof.stage("track_build"):
+        linetracks = triangulator.compute_line_tracks()
 
     # filters (line_triangulation.py:171-200)
     id2row = imagecols.img_id_to_index()
@@ -113,6 +119,9 @@ def line_triangulation(cfg: dict, imagecols, neighbors: Optional[dict] = None,
             tb, views, f2d["th_angular_2d"], f2d["th_perp_2d"])
         return [t for t in batch_to_tracks(tb) if t.count_lines() > 0]
 
+    prof.times.setdefault("filters_remerge", 0.0)
+    import time as _time
+    _t0 = _time.perf_counter()
     linetracks = filter_reproj(linetracks)
     if not cfg["triangulation"]["remerging"].get("disable", False) \
             and linetracks:
@@ -130,14 +139,17 @@ def line_triangulation(cfg: dict, imagecols, neighbors: Optional[dict] = None,
             mask=tb.mask & tb.track_mask[:, None]))
         linetracks = [t for t in linetracks if t.count_lines() > 0]
 
+    prof.times["filters_remerge"] += _time.perf_counter() - _t0
+
     # [E] geometric refinement
     if not cfg["refinement"].get("disable", False) and linetracks:
-        tb = tracks_to_batch(linetracks, id2row)
-        ba_cfg = LineBAConfig.from_dict(cfg["refinement"])
-        refined, _ = solve_line_bundle_adjustment(tb, views, ba_cfg)
-        tb = get_output_tracks(tb, views, refined,
-                               ba_cfg.num_outliers_aggregator)
-        linetracks = batch_to_tracks(tb)
+        with prof.stage("bundle_adjustment"):
+            tb = tracks_to_batch(linetracks, id2row)
+            ba_cfg = LineBAConfig.from_dict(cfg["refinement"])
+            refined, _ = solve_line_bundle_adjustment(tb, views, ba_cfg)
+            tb = get_output_tracks(tb, views, refined,
+                                   ba_cfg.num_outliers_aggregator)
+            linetracks = batch_to_tracks(tb)
 
     # [F] save
     limapio.save_txt_linetracks(
@@ -148,6 +160,18 @@ def line_triangulation(cfg: dict, imagecols, neighbors: Optional[dict] = None,
                                               "finaltracks")),
         linetracks, config=cfg, imagecols=imagecols,
         all_2d_segs=all_2d_segs)
+    # structured metrics: stage wall-clock + track-quality stats
+    # (the reference prints tqdm progress only, SURVEY §5)
+    from limap_tpu.evaluation.evaluator import report_track_stats
+    metrics = {"stages_s": prof.report(),
+               "tracks": report_track_stats(
+                   linetracks, cfg["n_visible_views"]),
+               "overflow_edges": int(getattr(triangulator,
+                                             "overflow_edges", 0))}
+    import json as _json
+    with open(os.path.join(cfg["dir_save"], "metrics.json"), "w") as f:
+        _json.dump(metrics, f, indent=1)
+
     valid = [t.line for t in linetracks
              if t.count_images() >= cfg["n_visible_views"]]
     limapio.save_obj(
