@@ -315,9 +315,31 @@ def remerge_once(tracks: List[LineTrack], views: CameraViewsBatch,
     sv = _support_views(batch, views)
     T = len(tracks)
     check = _build_remerge_check(cfg)
-    ok = np.asarray(check(batch.line.start, batch.line.end,
-                          batch.line3d.start, batch.line3d.end, batch.mask,
-                          sv.kvec, sv.qvec, sv.tvec))
+    # pow-2 shape buckets: every remerge iteration shrinks T, and an
+    # unbucketed [T, S] signature would recompile the check kernel per
+    # iteration per run (tens of seconds over the TPU tunnel); the
+    # padded rows are sliced off after the call
+    Tp = 1 << int(np.ceil(np.log2(max(T, 2))))
+    S = batch.mask.shape[1]
+    Sp = 1 << int(np.ceil(np.log2(max(S, 2))))
+
+    def padTS(a):
+        a = np.asarray(a)
+        out = np.zeros((Tp, Sp) + a.shape[2:], a.dtype)
+        out[:T, :S] = a
+        return jnp.asarray(out)
+
+    def padT(a):
+        a = np.asarray(a)
+        out = np.zeros((Tp,) + a.shape[1:], a.dtype)
+        out[:T] = a
+        return jnp.asarray(out)
+
+    ok = np.asarray(check(
+        padT(batch.line.start), padT(batch.line.end),
+        padTS(batch.line3d.start), padTS(batch.line3d.end),
+        padTS(batch.mask), padTS(sv.kvec), padTS(sv.qvec),
+        padTS(sv.tvec)))[:T, :T]
     pairs = np.argwhere(np.triu(ok | ok.T, k=1))
     E_pad = max(len(pairs), 1)
     edges = np.zeros((E_pad, 2), np.int32)
