@@ -15,6 +15,7 @@ without touching the matcher.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -24,6 +25,7 @@ import numpy as np
 from limap_tpu.line2d.base import (BaseDetector, BaseMatcher,
                                    register_detector, register_extractor,
                                    register_matcher)
+from limap_tpu.util import io as limapio
 
 PATCH = 8          # patch side in samples
 PATCH_SPACING = 2.0  # pixels between samples
@@ -310,6 +312,41 @@ class NNEndpointsMatcher(BaseMatcher):
         j = idx.reshape(-1)
         good = scores[i, j] >= self.min_score
         return np.stack([i[good], j[good]], axis=1)
+
+    def match_all_neighbors(self, output_folder, image_ids, neighbors,
+                            descinfo_folder, skip_exists: bool = False):
+        """Batched override of the per-pair loop (base.py): all
+        descinfos upload once and every neighbor pair is scored in a
+        few chunked device dispatches (the reference fans out with
+        joblib, base_matcher.py:117).  Mutual-NN mode (topk == 0)
+        falls back to the generic per-pair path."""
+        if self.topk == 0:
+            return super().match_all_neighbors(
+                output_folder, image_ids, neighbors, descinfo_folder,
+                skip_exists)
+        matches_folder = self.get_matches_folder(output_folder)
+        limapio.check_makedirs(matches_folder)
+        todo = [i for i in image_ids if not (skip_exists and os.path.isfile(
+            os.path.join(matches_folder, f"matches_{i}.npy")))]
+        if not todo:
+            return matches_folder
+        descinfos = {i: self.extractor.read_descinfo(descinfo_folder, i)
+                     for i in image_ids}
+        pairs = [(i, ng) for i in todo for ng in neighbors[i]]
+        nonempty = {i for i in image_ids
+                    if np.asarray(
+                        descinfos[i]["endpoints_desc"]).shape[1] > 0}
+        live = [p for p in pairs
+                if p[0] in nonempty and p[1] in nonempty]
+        result = batched_match_pairs(
+            {i: descinfos[i] for i in nonempty}, live,
+            topk=self.topk, min_score=self.min_score) if live else {}
+        for img_id in todo:
+            matches = {ng: result.get(
+                (img_id, ng), np.zeros((0, 2), np.int64))
+                for ng in neighbors[img_id]}
+            self.save_match(matches_folder, img_id, matches)
+        return matches_folder
 
 
 @register_extractor("superpoint_endpoints")

@@ -189,3 +189,38 @@ def test_match_all_neighbors_batched_equals_two_stage(rng):
     two = batched_match_pairs(descinfos, pairs, topk=2, min_score=-10.0)
     for (a, b) in pairs:
         assert np.array_equal(fused[a][b], two[(a, b)]), (a, b)
+
+
+def test_nn_endpoints_batched_match_all_neighbors(rng, tmp_path):
+    """The batched match_all_neighbors override writes the same
+    matches_{id}.npy files as the generic per-pair loop."""
+    from limap_tpu.line2d import get_matcher
+    from limap_tpu.line2d.endpoints import (PatchEndpointsExtractor,
+                                            compute_descinfos_batch)
+    imgs = {i: rng.uniform(0, 255, size=(64, 80)).astype(np.uint8)
+            for i in range(4)}
+    segs = {i: rng.uniform(5, 60, size=(5 + i, 4)) for i in range(4)}
+    nbrs = {i: [j for j in range(4) if j != i] for i in range(4)}
+    ex = PatchEndpointsExtractor({})
+    dfolder = str(tmp_path / "descinfos")
+    descinfos = compute_descinfos_batch(imgs, segs)
+    for i in imgs:
+        ex.save_descinfo(dfolder, i, descinfos[i])
+
+    m = get_matcher({"method": "nn_endpoints", "topk": 2,
+                     "min_score": -10.0}, ex)
+    out_b = str(tmp_path / "out_batched")
+    folder_b = m.match_all_neighbors(out_b, list(imgs), nbrs, dfolder)
+    # generic path via the base implementation
+    from limap_tpu.line2d.base import BaseMatcher
+    out_g = str(tmp_path / "out_generic")
+    folder_g = BaseMatcher.match_all_neighbors(
+        m, out_g, list(imgs), nbrs, dfolder)
+    for i in imgs:
+        mb = m.read_match(folder_b, i)
+        mg = m.read_match(folder_g, i)
+        assert set(mb) == set(mg)
+        for ng in mb:
+            assert np.array_equal(np.sort(np.asarray(mb[ng]), axis=0),
+                                  np.sort(np.asarray(mg[ng]), axis=0)), \
+                (i, ng)
