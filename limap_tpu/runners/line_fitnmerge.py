@@ -92,6 +92,8 @@ def line_fitnmerge(cfg: dict, imagecols, depths,
                    ranges=None) -> List[LineTrack]:
     """Main interface (line_fitnmerge.py:133)."""
     cfg = runners.setup(cfg)
+    from limap_tpu.util.profiler import StageProfiler
+    prof = StageProfiler()
     detector = cfg["line2d"]["detector"]["method"]
     if cfg["fitting"].get("var2d", -1) == -1:
         cfg["fitting"]["var2d"] = DEFAULT_VAR2D.get(detector, 2.0)
@@ -109,14 +111,16 @@ def line_fitnmerge(cfg: dict, imagecols, depths,
             neighbors[img_id] = neighbors[img_id][:cfg["n_neighbors"]]
 
     # [B] 2D segments
-    all_2d_segs, _ = runners.compute_2d_segs(cfg, imagecols,
-                                             compute_descinfo=False)
+    with prof.stage("detect"):
+        all_2d_segs, _ = runners.compute_2d_segs(cfg, imagecols,
+                                                 compute_descinfo=False)
 
     # [C] fit 3D segments from depth
     fname_fit = "fitted_3d_segs.npy"
     if not cfg.get("load_fit", False):
-        seg3d_list = fit_3d_segs(all_2d_segs, imagecols, depths,
-                                 cfg["fitting"])
+        with prof.stage("fit_3d_segs"):
+            seg3d_list = fit_3d_segs(all_2d_segs, imagecols, depths,
+                                     cfg["fitting"])
         limapio.save_npy(os.path.join(cfg["dir_save"], fname_fit), seg3d_list)
     else:
         seg3d_list = limapio.read_npy(
@@ -143,9 +147,10 @@ def line_fitnmerge(cfg: dict, imagecols, depths,
     seg3d = set_uncertainty_segs3d(seg3d, vb, cfg["merging"]["var2d"])
     seg2d = Segments(jnp.asarray(l2d[..., :2]), jnp.asarray(l2d[..., 2:4]))
 
-    linetracks = merge_to_linetracks(
-        seg2d, seg3d, jnp.asarray(mask), views, jnp.asarray(nbrs),
-        jnp.asarray(nmask), linker, image_ids=np.asarray(img_ids))
+    with prof.stage("merge_to_tracks"):
+        linetracks = merge_to_linetracks(
+            seg2d, seg3d, jnp.asarray(mask), views, jnp.asarray(nbrs),
+            jnp.asarray(nmask), linker, image_ids=np.asarray(img_ids))
 
     # filters + remerge fixpoint (line_fitnmerge.py:237-255)
     def filter_reproj(tracks):
@@ -176,6 +181,16 @@ def line_fitnmerge(cfg: dict, imagecols, depths,
         linetracks = batch_to_tracks(tb)
 
     linetracks = [t for t in linetracks if t.length() > 0]
+
+    # structured metrics (mirrors line_triangulation)
+    from limap_tpu.evaluation.evaluator import report_track_stats
+    import json as _json
+    with open(os.path.join(cfg["dir_save"],
+                           "fitnmerge_metrics.json"), "w") as f:
+        _json.dump({"stages_s": prof.report(),
+                    "tracks": report_track_stats(
+                        linetracks, cfg["n_visible_views"])}, f,
+                   indent=1)
 
     # [F] save
     output_folder = cfg.get("output_folder") or "fitnmerge_finaltracks"
@@ -237,6 +252,8 @@ def line_fitting_with_points3d(cfg: dict, imagecols, p3d_readers,
     (line_fitnmerge.py:316 in the reference): identical to
     line_fitnmerge except stage [C] fits against point maps."""
     cfg = runners.setup(cfg)
+    from limap_tpu.util.profiler import StageProfiler
+    prof = StageProfiler()
     detector = cfg["line2d"]["detector"]["method"]
     if cfg["fitting"].get("var2d", -1) == -1:
         cfg["fitting"]["var2d"] = DEFAULT_VAR2D.get(detector, 2.0)
