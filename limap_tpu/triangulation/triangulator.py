@@ -123,7 +123,6 @@ class GlobalLineTriangulator:
         I = len(self.img_ids)
 
         L = max((len(all_2d_segs[i]) for i in self.img_ids), default=1)
-        self.max_lines = max(L, 1)
         L = max(int(2 ** np.ceil(np.log2(max(L, 8)))), 8)
         self.L = L
         lines = np.zeros((I, L, 4), np.float32)
@@ -194,7 +193,7 @@ class GlobalLineTriangulator:
 
 
     # ------------------------------------------------- bucketed kernels
-    def _bucket_kernel(self, K: int, T: int, Lw: int):
+    def _bucket_kernel(self, K: int, T: int):
         """Flat whole-group triangulation kernel (proposals + scoring +
         selection) over host-bucketed candidate edges.
 
@@ -229,12 +228,8 @@ class GlobalLineTriangulator:
             # 2-D host->device transfers go through a slow
             # tiled-relayout path on the remote tunnel (~56 MB/s vs
             # ~2 GB/s flat, measured in-env).
-            # Lw <= L: the words array covers only the REAL max
-            # lines/image (rounded to 8), not the pow-2 l2d bucket —
-            # 1500 detected lines in an L=2048 bucket would waste 27%
-            # of upload bytes and pair-scoring compute on phantom rows
-            G = words1d.shape[0] // (Lw * T)
-            N = G * Lw
+            G = words1d.shape[0] // (L * T)
+            N = G * L
             I = cam_packed.shape[0]
             l2d_flat = l2d_packed.reshape(I * L, 6)
             meta = meta1d.reshape(G, K + 1)
@@ -253,9 +248,9 @@ class GlobalLineTriangulator:
                 b = w >> 7
                 slot = w & 0x7F
 
-            rowf = jnp.repeat(row_ids, Lw)                      # [N]
-            a_ids = jnp.tile(jnp.arange(Lw, dtype=jnp.int32), G)
-            g_ids = jnp.repeat(jnp.arange(G, dtype=jnp.int32), Lw)
+            rowf = jnp.repeat(row_ids, L)                       # [N]
+            a_ids = jnp.tile(jnp.arange(L, dtype=jnp.int32), G)
+            g_ids = jnp.repeat(jnp.arange(G, dtype=jnp.int32), L)
             ng_row = nbr_table.reshape(G * K)[
                 g_ids[:, None] * K + jnp.clip(slot, 0, K - 1)]
             ng_row = jnp.maximum(ng_row, 0)                     # [N, T]
@@ -263,11 +258,10 @@ class GlobalLineTriangulator:
             idx1 = rowf * L + a_ids                             # [N]
             idx2 = ng_row * L + b                               # [N, T]
             # self rows: contiguous row-takes; neighbors: ONE wide gather
-            own = jnp.take(l2d_packed, row_ids,
-                           axis=0)[:, :Lw].reshape(N, 6)
+            own = jnp.take(l2d_packed, row_ids, axis=0).reshape(N, 6)
             nb = l2d_flat[idx2]                                 # [N, T, 6]
             cam1 = jnp.take(cam_packed, row_ids, axis=0)        # [G, 12]
-            cam1 = jnp.repeat(cam1, Lw, axis=0)[:, None, :]     # [N, 1, 12]
+            cam1 = jnp.repeat(cam1, L, axis=0)[:, None, :]      # [N, 1, 12]
             cam2 = cam_packed[ng_row]                           # [N, T, 12]
             l1 = Segments(own[:, None, 0:2], own[:, None, 2:4])
             l2 = Segments(nb[..., 0:2], nb[..., 2:4])
@@ -416,23 +410,23 @@ class GlobalLineTriangulator:
 
             floats = jnp.concatenate(
                 [best_start, best_end, best_depths, best_unc[:, None],
-                 best_score[:, None]], axis=1).reshape(G, Lw, 10)
+                 best_score[:, None]], axis=1).reshape(G, L, 10)
             ints = jnp.concatenate(
                 [padded, cnt[:, None].astype(jnp.int32)],
-                axis=1).reshape(G, Lw, T + 1)
+                axis=1).reshape(G, L, T + 1)
             return floats, ints
 
         return run
 
-    def _get_bucket_kernel(self, K: int, T: int, Lw: int):
+    def _get_bucket_kernel(self, K: int, T: int):
         # MODULE-level cache: a fresh triangulator instance (one per
         # scene in the runners) must reuse the compiled kernel — a
         # per-instance cache re-jits on every pipeline invocation,
         # which costs tens of seconds per compile over the TPU tunnel
-        key = ("bucket", K, T, Lw, self.L, repr(self.cfg),
+        key = ("bucket", K, T, self.L, repr(self.cfg),
                self.vpresults is not None)
         if key not in _KERNEL_CACHE:
-            _KERNEL_CACHE[key] = jax.jit(self._bucket_kernel(K, T, Lw))
+            _KERNEL_CACHE[key] = jax.jit(self._bucket_kernel(K, T))
         return _KERNEL_CACHE[key]
 
     def triangulate_all_mesh(self, matches_by_image, mesh,
@@ -463,8 +457,8 @@ class GlobalLineTriangulator:
             matches_list.append(m)
         if not rows:
             return
-        words, meta, K, Tc, Lw, overflow = self._bucket_arrays(
-            rows, matches_list)
+        words, meta, K, Tc, overflow = self._bucket_arrays(rows,
+                                                           matches_list)
         self.overflow_edges = overflow
         n = len(rows)
         d = int(np.prod([mesh.shape[a] for a in mesh.shape]))
@@ -473,7 +467,7 @@ class GlobalLineTriangulator:
             words = np.concatenate([words,
                                     np.repeat(words[-1:], pad_n, 0)])
             meta = np.concatenate([meta, np.repeat(meta[-1:], pad_n, 0)])
-        run = self._get_bucket_kernel(K, Tc, Lw)
+        run = self._bucket_kernel(K, Tc)
         lo = self.ranges[0] if self.ranges is not None else None
         hi = self.ranges[1] if self.ranges is not None else None
         l2dp, camp = self._l2d_packed, self._cam_packed
@@ -488,7 +482,7 @@ class GlobalLineTriangulator:
             out_specs=(P(axis), P(axis)), check_vma=False))
         floats, ints = sharded(jnp.asarray(words), jnp.asarray(meta))
         self._dev_results = (rows, [(list(range(n)), floats[:n],
-                                     ints[:n])], Tc, Lw)
+                                     ints[:n])], Tc)
         self._host_synced = False
         jax.block_until_ready(floats)
 
@@ -501,8 +495,6 @@ class GlobalLineTriangulator:
         ``max_tris_per_node`` should be raised for this scene."""
         T = self.cfg.max_tris_per_node
         L = self.L
-        # words cover only the real max lines/image, sublane-rounded
-        Lw = min(L, max(8 * ((int(self.max_lines) + 7) // 8), 8))
         n = len(rows)
         K = max((len(m) for m in matches_list), default=1) or 1
         assert K <= 127, "slot encoding uses 7 bits"
@@ -516,12 +508,12 @@ class GlobalLineTriangulator:
                 m = np.asarray(matches[ng]).reshape(-1, 2)
                 if not len(m):
                     continue
-                key_parts.append(gi * Lw + m[:, 0].astype(np.int64))
+                key_parts.append(gi * L + m[:, 0].astype(np.int64))
                 val_parts.append((m[:, 1].astype(np.int32) << 7) | s_i)
         if key_parts:
             key = np.concatenate(key_parts)
             vals = np.concatenate(val_parts)
-            counts = np.bincount(key, minlength=n * Lw)
+            counts = np.bincount(key, minlength=n * L)
             max_count = int(counts.max()) if len(counts) else 1
         else:
             key = np.zeros(0, np.int64)
@@ -542,8 +534,8 @@ class GlobalLineTriangulator:
         Tc = min(T, Tc)
         # native single-pass stable fill (numpy fallback inside)
         from limap_tpu.ops import hostops
-        words, overflow = hostops.bucket_scene(key, vals, n * Lw, Tc)
-        words = words.reshape(n, Lw * Tc)
+        words, overflow = hostops.bucket_scene(key, vals, n * L, Tc)
+        words = words.reshape(n, L * Tc)
         if L <= 2048 and K <= 31:
             # uint16 re-encode ((b << 5) | slot, 0xFFFF = empty):
             # halves the dominant host->device transfer.  With K <= 31
@@ -555,7 +547,7 @@ class GlobalLineTriangulator:
         for gi, nr in enumerate(nbr_rows):
             meta[gi, :len(nr)] = nr
         meta[:, K] = np.asarray(rows, np.int32)
-        return words, meta, K, Tc, Lw, overflow
+        return words, meta, K, Tc, overflow
 
     # ----------------------------------------------------- triangulation
     def triangulate_image(self, img_id: int,
@@ -565,10 +557,9 @@ class GlobalLineTriangulator:
         Synchronous: writes host state for this image directly."""
         self._sync_host()
         row = self.id2idx[img_id]
-        words, meta, K, Tc, Lw, overflow = self._bucket_arrays(
-            [row], [matches])
+        words, meta, K, Tc, overflow = self._bucket_arrays([row], [matches])
         self.overflow_edges = getattr(self, "overflow_edges", 0) + overflow
-        kern = self._get_bucket_kernel(K, Tc, Lw)
+        kern = self._get_bucket_kernel(K, Tc)
         lo = self.ranges[0] if self.ranges is not None else None
         hi = self.ranges[1] if self.ranges is not None else None
         floats, ints = kern(
@@ -577,14 +568,14 @@ class GlobalLineTriangulator:
             self.vpresults, lo, hi)
         floats = np.asarray(floats)[0]
         ints = np.asarray(ints)[0]
-        self.best_line3d[row, :Lw, 0] = floats[:, 0:3]
-        self.best_line3d[row, :Lw, 1] = floats[:, 3:6]
-        self.best_depths[row, :Lw] = floats[:, 6:8]
-        self.best_unc[row, :Lw] = floats[:, 8]
-        self.best_score[row, :Lw] = floats[:, 9]
+        self.best_line3d[row, :, 0] = floats[:, 0:3]
+        self.best_line3d[row, :, 1] = floats[:, 3:6]
+        self.best_depths[row] = floats[:, 6:8]
+        self.best_unc[row] = floats[:, 8]
+        self.best_score[row] = floats[:, 9]
         self.valid_edge_ng[row] = -1
-        self.valid_edge_ng[row, :Lw, :Tc] = ints[:, :Tc]
-        self.valid_edge_cnt[row, :Lw] = ints[:, Tc]
+        self.valid_edge_ng[row, :, :Tc] = ints[:, :Tc]
+        self.valid_edge_cnt[row] = ints[:, Tc]
 
     def triangulate_image_exhaustive(self, img_id: int,
                                      neighbors: List[int]) -> None:
@@ -624,8 +615,8 @@ class GlobalLineTriangulator:
             matches_list.append(m)
         if not rows:
             return
-        words, meta, K, Tc, Lw, overflow = self._bucket_arrays(
-            rows, matches_list)
+        words, meta, K, Tc, overflow = self._bucket_arrays(rows,
+                                                           matches_list)
         t_bucket = _time.perf_counter()
         self.overflow_edges = overflow
         if overflow:
@@ -634,7 +625,7 @@ class GlobalLineTriangulator:
                 f"{overflow} candidate edges dropped by the "
                 f"max_tris_per_node={self.cfg.max_tris_per_node} bucket; "
                 f"raise it for full recall", stacklevel=2)
-        kern = self._get_bucket_kernel(K, Tc, Lw)
+        kern = self._get_bucket_kernel(K, Tc)
         lo = self.ranges[0] if self.ranges is not None else None
         hi = self.ranges[1] if self.ranges is not None else None
 
@@ -666,7 +657,7 @@ class GlobalLineTriangulator:
             floats, ints = kern(self._l2d_packed, self._cam_packed,
                                 d_words, d_meta, self.vpresults, lo, hi)
             outs.append((list(range(g0, g1)), floats, ints))
-        self._dev_results = (rows, outs, Tc, Lw)
+        self._dev_results = (rows, outs, Tc)
         self._host_synced = False
         t_dispatch = _time.perf_counter()
         jax.block_until_ready([o[1] for o in outs])
@@ -691,20 +682,20 @@ class GlobalLineTriangulator:
         if getattr(self, "_host_synced", True):
             return
         self._host_synced = True
-        img_rows, outs, Tc, Lw = self._dev_results
+        img_rows, outs, Tc = self._dev_results
         for idxs, floats, ints in outs:
             floats = np.asarray(floats)
             ints = np.asarray(ints)
             for gi, oi in enumerate(idxs):
                 row = img_rows[oi]
-                self.best_line3d[row, :Lw, 0] = floats[gi, :, 0:3]
-                self.best_line3d[row, :Lw, 1] = floats[gi, :, 3:6]
-                self.best_depths[row, :Lw] = floats[gi, :, 6:8]
-                self.best_unc[row, :Lw] = floats[gi, :, 8]
-                self.best_score[row, :Lw] = floats[gi, :, 9]
+                self.best_line3d[row, :, 0] = floats[gi, :, 0:3]
+                self.best_line3d[row, :, 1] = floats[gi, :, 3:6]
+                self.best_depths[row] = floats[gi, :, 6:8]
+                self.best_unc[row] = floats[gi, :, 8]
+                self.best_score[row] = floats[gi, :, 9]
                 self.valid_edge_ng[row] = -1
-                self.valid_edge_ng[row, :Lw, :Tc] = ints[gi, :, :Tc]
-                self.valid_edge_cnt[row, :Lw] = ints[gi, :, Tc]
+                self.valid_edge_ng[row, :, :Tc] = ints[gi, :, :Tc]
+                self.valid_edge_cnt[row] = ints[gi, :, Tc]
 
 
     # ------------------------------------------------------ track build
