@@ -10,6 +10,7 @@ import os
 import numpy as np
 
 from limap_tpu.base.camera import Camera, CameraPose
+from limap_tpu.base.depth_reader_base import BaseDepthReader
 from limap_tpu.base.image_collection import CameraImage, ImageCollection
 
 
@@ -83,7 +84,29 @@ class ScanNet:
         return ImageCollection(cams, images)
 
 
-def read_scene_scannet(cfg, dataset: ScanNet, scene_id: str):
+class ScanNetDepthReader(BaseDepthReader):
+    """ScanNet exports depth as 16-bit PNG millimeters
+    (reference ScanNet.py:131-135)."""
+
+    def read(self, filename: str) -> np.ndarray:
+        import cv2
+
+        depth = cv2.imread(filename, cv2.IMREAD_UNCHANGED)
+        return depth.astype(np.float32) / 1000.0
+
+
+def read_scene_scannet(cfg, dataset: ScanNet, scene_id: str,
+                       load_depth: bool = False):
     dataset.set_scene_id(scene_id)
     dataset.set_stride(cfg.get("stride", 1))
-    return dataset.read_imagecols()
+    imagecols = dataset.read_imagecols()
+    if not load_depth:
+        return imagecols
+    depth_dir = os.path.join(dataset.scene_dir, "depth")
+    depths = {}
+    for img_id in imagecols.get_img_ids():
+        stem = os.path.splitext(os.path.basename(
+            imagecols.images[img_id].image_name))[0]
+        depths[img_id] = ScanNetDepthReader(
+            os.path.join(depth_dir, stem + ".png"))
+    return imagecols, depths
