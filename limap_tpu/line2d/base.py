@@ -221,6 +221,30 @@ def get_detector(cfg_detector: dict, max_num_2d_segs: int = 3000,
     return DETECTOR_REGISTRY[method](options)
 
 
+def detect_arrays_parallel(cfg_detector: dict, imgs: dict,
+                           n_workers: int = 2, **det_kwargs) -> dict:
+    """Host detection over {img_id: array} with a small thread pool —
+    the reference fans detection out with joblib processes
+    (line2d/base_detector.py detect_all_images); threads suffice here
+    because cv2's LSD releases the GIL.  One detector instance per
+    thread: sharing a single cv2 LSD across threads segfaults.
+    Returns {img_id: [N, >=4] segments} (longest-k capped)."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    tl = threading.local()
+
+    def work(img):
+        if not hasattr(tl, "det"):
+            tl.det = get_detector(cfg_detector, **det_kwargs)
+        return tl.det.take_longest_k(tl.det.detect_array(img))[0]
+
+    ids = list(imgs.keys())
+    with ThreadPoolExecutor(max_workers=n_workers) as ex:
+        out = list(ex.map(work, (imgs[i] for i in ids)))
+    return dict(zip(ids, out))
+
+
 def get_extractor(cfg_extractor: dict, weight_path=None) -> BaseDetector:
     import limap_tpu.line2d.dense  # noqa: F401
     import limap_tpu.line2d.endpoints  # noqa: F401

@@ -24,8 +24,9 @@ from limap_tpu.base.camera import CameraViewsBatch
 from limap_tpu.base.line_linker import (LineLinker, LineLinker3dConfig,
                                         check_2d, check_3d)
 from limap_tpu.base.lines import Segments
-from limap_tpu.base.linetrack import (LineTrack, TrackBatch, batch_to_tracks,
-                                      tracks_to_batch)
+from limap_tpu.base.linetrack import (HostTrackBatch, LineTrack, TrackBatch,
+                                      batch_from_flat_supports,
+                                      batch_to_tracks, tracks_to_batch)
 from limap_tpu.merging.aggregator import aggregate_tracks
 from limap_tpu.ops.connected_components import (compact_labels,
                                                 connected_components)
@@ -300,9 +301,20 @@ def _build_remerge_check(cfg: LineLinker3dConfig):
         line = Segments(line_start, line_end, uncertainty=u)
         T = line_start.shape[0]
         ok = check_3d(_expand(line, 1), _expand(line, 0), cfg)
-        return ok & ~jnp.eye(T, dtype=bool)
+        # bit-packed result: the [T, T] bool matrix is the dominant
+        # D2H of the remerge loop (~15 MB/s tunnel); packed it is T^2/8
+        return jnp.packbits(ok & ~jnp.eye(T, dtype=bool), axis=1)
 
     return run
+
+
+def _run_remerge_check(check, batch: TrackBatch,
+                       sv: CameraViewsBatch) -> np.ndarray:
+    T = batch.mask.shape[0]
+    packed = np.asarray(check(
+        batch.line.start, batch.line.end, batch.line3d.start,
+        batch.line3d.end, batch.mask, sv.kvec, sv.qvec, sv.tvec))
+    return np.unpackbits(packed, axis=1, count=T).astype(bool)
 
 
 def remerge_once(tracks: List[LineTrack], views: CameraViewsBatch,
@@ -335,11 +347,11 @@ def remerge_once(tracks: List[LineTrack], views: CameraViewsBatch,
         out[:T] = a
         return jnp.asarray(out)
 
-    ok = np.asarray(check(
+    ok = np.unpackbits(np.asarray(check(
         padT(batch.line.start), padT(batch.line.end),
         padTS(batch.line3d.start), padTS(batch.line3d.end),
         padTS(batch.mask), padTS(sv.kvec), padTS(sv.qvec),
-        padTS(sv.tvec)))[:T, :T]
+        padTS(sv.tvec))), axis=1, count=Tp)[:T, :T].astype(bool)
     pairs = np.argwhere(np.triu(ok | ok.T, k=1))
     E_pad = max(len(pairs), 1)
     edges = np.zeros((E_pad, 2), np.int32)
@@ -388,3 +400,146 @@ def remerge(tracks: List[LineTrack], views: CameraViewsBatch,
             break
         num = len(tracks)
     return tracks
+
+
+# ======================================================================
+# Batch-resident filter/remerge chain: no LineTrack round trips
+# ======================================================================
+def compact_track_batch(host: HostTrackBatch,
+                        labels: Optional[np.ndarray] = None,
+                        pow2_buckets: bool = True,
+                        return_host: bool = False) -> TrackBatch:
+    """Re-pack a host batch dropping masked tracks/supports; when
+    ``labels`` is given, tracks with equal label are merged (their
+    supports concatenated) — the regroup step of batch remerging.
+    Fully vectorized host work + one upload."""
+    T = len(host.track_mask)
+    if labels is None:
+        labels = np.arange(T)
+    # compact labels of VALID tracks to 0..T'-1, preserving first-seen
+    # order (so no-op compaction keeps track order)
+    tvalid = host.track_mask
+    lab = np.where(tvalid, labels, -1)
+    uniq, inv = np.unique(lab, return_inverse=True)
+    # shift so that -1 (invalid) maps to -1
+    has_invalid = len(uniq) > 0 and uniq[0] == -1
+    new_of = inv - 1 if has_invalid else inv
+    n_groups = len(uniq) - (1 if has_invalid else 0)
+
+    # representative line per group = first member's aggregate (only
+    # meaningful for labels=None compaction; regrouping re-aggregates)
+    tidx = np.nonzero(tvalid)[0]
+    first = np.zeros(max(n_groups, 1), np.int64)
+    first[new_of[tidx][::-1]] = tidx[::-1]
+    line = host.line[first[:n_groups]] if n_groups else None
+
+    ti, si = np.nonzero(host.mask & tvalid[:, None])
+    g = new_of[ti]
+    order = np.argsort(g, kind="stable")
+    ti, si, g = ti[order], si[order], g[order]
+    return batch_from_flat_supports(
+        g, host.img_index[ti, si], host.image_ids[ti, si],
+        host.line_ids[ti, si], host.l2d[ti, si], host.l3d[ti, si],
+        host.score[ti, si], line=line, num_tracks=n_groups,
+        pow2_buckets=pow2_buckets, return_host=return_host)
+
+
+def _aggregate_batch(batch: TrackBatch, views: CameraViewsBatch,
+                     num_outliers: int) -> TrackBatch:
+    """Recompute per-support uncertainty + aggregate endpoints
+    (device)."""
+    sv = _support_views(batch, views)
+    u_support = lg.compute_uncertainty(batch.line3d, sv)
+    seg = batch.line3d._replace(uncertainty=u_support)
+    agg = aggregate_tracks(seg, batch.score, batch.mask, num_outliers)
+    return batch._replace(line=agg)
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_reproj():
+    return jax.jit(filter_tracks_by_reprojection, static_argnums=(4,))
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_sens_overlap():
+    def run(batch, views, th_angular3d, min_support_sv, th_overlap,
+            min_support_ov):
+        batch = filter_tracks_by_sensitivity(batch, views, th_angular3d,
+                                             min_support_sv)
+        return filter_tracks_by_overlap(batch, views, th_overlap,
+                                        min_support_ov)
+    return jax.jit(run)
+
+
+def filter_chain_batch(batch: TrackBatch, views: CameraViewsBatch,
+                       f2d: dict,
+                       remerge_linker3d: Optional[LineLinker3dConfig]
+                       = None,
+                       num_outliers: int = 2,
+                       host: Optional[HostTrackBatch] = None):
+    """The runner's whole post-triangulation filter tail
+    (line_triangulation.py:171-200 in the reference) on a
+    device-resident TrackBatch: reprojection filter -> [remerge
+    fixpoint -> reprojection filter] -> sensitivity -> overlap.  Each
+    device stage is one jitted call; the only host work is remerge
+    regrouping on the ``host`` support mirror.  Returns (batch, host);
+    the returned mirror's mask/track_mask may be stale (refresh before
+    host-side use)."""
+    reproj = _jit_reproj()
+    batch = reproj(batch, views, f2d.get("th_angular_2d", 10.0),
+                   f2d.get("th_perp_2d", 10.0), num_outliers)
+    if remerge_linker3d is not None:
+        batch, host = remerge_batch(batch, views, remerge_linker3d,
+                                    num_outliers, host=host)
+        batch = reproj(batch, views, f2d.get("th_angular_2d", 10.0),
+                       f2d.get("th_perp_2d", 10.0), num_outliers)
+    batch = _jit_sens_overlap()(
+        batch, views, f2d.get("th_sv_angular_3d", 70.0),
+        f2d.get("th_sv_num_supports", 3), f2d.get("th_overlap", 0.05),
+        f2d.get("th_overlap_num_supports", 3))
+    return batch, host
+
+
+def remerge_batch(batch: TrackBatch, views: CameraViewsBatch,
+                  cfg3d: LineLinker3dConfig, num_outliers: int = 2,
+                  max_iters: int = 10,
+                  host: Optional[HostTrackBatch] = None):
+    """Batch-in / batch-out remerge fixpoint: the pairwise linker check
+    runs on device (bit-packed [T, T/8] result), the regroup is
+    vectorized host numpy on the ``host`` support mirror (the support
+    fields never change on device, so no bulk D2H per iteration).  The
+    semantics match :func:`remerge` (validated in
+    tests/test_batch_chain.py).  Returns (batch, host)."""
+    cfg = cfg3d.to_spatial_merging()
+    check = _build_remerge_check(cfg)
+    host = (host.refresh(batch) if host is not None
+            else HostTrackBatch.download(batch))
+    n_prev = None
+    for _ in range(max_iters):
+        T = int(host.track_mask.sum())
+        if T <= 1 or (n_prev is not None and T == n_prev):
+            break
+        n_prev = T
+        # device pairwise check on the padded batch; padded tracks are
+        # masked out afterwards (their uncertainty is 1e30 -> spurious
+        # connections are possible inside the kernel)
+        sv = _support_views(batch, views)
+        ok = _run_remerge_check(check, batch, sv)
+        tvalid = host.track_mask
+        ok &= tvalid[:, None] & tvalid[None, :]
+        pairs = np.argwhere(np.triu(ok | ok.T, k=1))
+        if not len(pairs):
+            break
+        Tp = len(host.track_mask)
+        E_pad = max(len(pairs), 1)
+        edges = np.zeros((E_pad, 2), np.int32)
+        edges[:len(pairs)] = pairs
+        emask = np.arange(E_pad) < len(pairs)
+        labels = np.asarray(connected_components(
+            Tp, jnp.asarray(edges), jnp.asarray(emask)))
+        batch, host = compact_track_batch(host, labels,
+                                          return_host=True)
+        batch = _aggregate_batch(batch, views, num_outliers)
+        # _aggregate_batch only rewrites the line on device; the mirror
+        # stays valid for everything the regroup reads
+    return batch, host

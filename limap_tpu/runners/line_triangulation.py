@@ -14,11 +14,9 @@ import numpy as np
 
 import limap_tpu.runners.functions as runners
 from limap_tpu.base.line_linker import LineLinker3dConfig
-from limap_tpu.base.linetrack import LineTrack, batch_to_tracks, \
-    tracks_to_batch
-from limap_tpu.merging import (filter_tracks_by_overlap,
-                               filter_tracks_by_reprojection,
-                               filter_tracks_by_sensitivity, remerge)
+from limap_tpu.base.linetrack import HostTrackBatch, LineTrack, \
+    batch_to_tracks, tracks_to_batch
+from limap_tpu.merging import compact_track_batch, filter_chain_batch
 from limap_tpu.optimize import (LineBAConfig, get_output_tracks,
                                 solve_line_bundle_adjustment)
 from limap_tpu.triangulation.triangulator import (GlobalLineTriangulator,
@@ -104,52 +102,42 @@ def line_triangulation(cfg: dict, imagecols, neighbors: Optional[dict] = None,
             # batched fast path: G independent images per device call
             triangulator.triangulate_all(matches_by_image)
     with prof.stage("track_build"):
-        linetracks = triangulator.compute_line_tracks()
+        tb, tb_host = triangulator.compute_track_batch(return_host=True)
 
-    # filters (line_triangulation.py:171-200)
+    # filters (line_triangulation.py:171-200) — batch-resident: the
+    # whole reproj -> remerge -> reproj -> sensitivity -> overlap tail
+    # runs on the device TrackBatch (equivalence with the LineTrack
+    # list chain asserted in tests/test_batch_chain.py)
     id2row = imagecols.img_id_to_index()
     views = imagecols.batch()
     f2d = cfg["triangulation"]["filtering2d"]
 
-    def filter_reproj(tracks):
-        if not tracks:
-            return tracks
-        tb = tracks_to_batch(tracks, id2row)
-        tb = filter_tracks_by_reprojection(
-            tb, views, f2d["th_angular_2d"], f2d["th_perp_2d"])
-        return [t for t in batch_to_tracks(tb) if t.count_lines() > 0]
-
     prof.times.setdefault("filters_remerge", 0.0)
     import time as _time
     _t0 = _time.perf_counter()
-    linetracks = filter_reproj(linetracks)
-    if not cfg["triangulation"]["remerging"].get("disable", False) \
-            and linetracks:
-        linker3d = LineLinker3dConfig.from_dict(
-            cfg["triangulation"]["remerging"].get("linker3d"))
-        linetracks = remerge(linetracks, views, id2row, linker3d)
-        linetracks = filter_reproj(linetracks)
-    if linetracks:
-        tb = tracks_to_batch(linetracks, id2row)
-        tb = filter_tracks_by_sensitivity(
-            tb, views, f2d["th_sv_angular_3d"], f2d["th_sv_num_supports"])
-        tb = filter_tracks_by_overlap(
-            tb, views, f2d["th_overlap"], f2d["th_overlap_num_supports"])
-        linetracks = batch_to_tracks(tb._replace(
-            mask=tb.mask & tb.track_mask[:, None]))
-        linetracks = [t for t in linetracks if t.count_lines() > 0]
-
+    if tb is not None:
+        linker3d = None
+        if not cfg["triangulation"]["remerging"].get("disable", False):
+            linker3d = LineLinker3dConfig.from_dict(
+                cfg["triangulation"]["remerging"].get("linker3d"))
+        tb, tb_host = filter_chain_batch(tb, views, f2d, linker3d,
+                                         host=tb_host)
+        # drop dead tracks/supports before BA (smaller static shapes)
+        tb, tb_host = compact_track_batch(
+            tb_host.refresh(tb, with_line=True), return_host=True)
+        if not int(np.asarray(tb.track_mask).sum()):
+            tb = None
     prof.times["filters_remerge"] += _time.perf_counter() - _t0
 
     # [E] geometric refinement
-    if not cfg["refinement"].get("disable", False) and linetracks:
+    if not cfg["refinement"].get("disable", False) and tb is not None:
         with prof.stage("bundle_adjustment"):
-            tb = tracks_to_batch(linetracks, id2row)
             ba_cfg = LineBAConfig.from_dict(cfg["refinement"])
             refined, _ = solve_line_bundle_adjustment(tb, views, ba_cfg)
             tb = get_output_tracks(tb, views, refined,
                                    ba_cfg.num_outliers_aggregator)
-            linetracks = batch_to_tracks(tb)
+    linetracks = [t for t in batch_to_tracks(tb, host=tb_host)
+                  if t.count_lines() > 0] if tb is not None else []
 
     # [F] save
     limapio.save_txt_linetracks(

@@ -222,8 +222,9 @@ class GlobalLineTriangulator:
             # words1d [G * L * T]: packed edge words, uint16 fast path
             # ((b << 5) | slot, 0xFFFF = empty; halves the host->device
             # bytes — the dominant cost on the remote tunnel) when
-            # L <= 2046 and K <= 32, else int32 ((b << 7) | slot,
-            # -1 = empty).  meta1d [G * (K + 1)] int32: neighbor row
+            # L <= 2048 and K <= 31 (slot 31 never occurs, so the max
+            # real word (2047 << 5) | 30 = 65534 < the 0xFFFF
+            # sentinel), else int32 ((b << 7) | slot, -1 = empty).  meta1d [G * (K + 1)] int32: neighbor row
             # table + row id per image.  Uploaded as flat 1-D arrays:
             # 2-D host->device transfers go through a slow
             # tiled-relayout path on the remote tunnel (~56 MB/s vs
@@ -541,6 +542,7 @@ class GlobalLineTriangulator:
             # halves the dominant host->device transfer.  With K <= 31
             # slot 31 never occurs, so the sentinel cannot collide even
             # at b = L-1 = 2047.
+            assert K <= 31, "uint16 slot field is 5 bits with 31 reserved"
             w16 = ((words >> 7) << 5 | (words & 0x7F)).astype(np.uint16)
             words = np.where(words < 0, np.uint16(0xFFFF), w16)
         meta = np.full((n, K + 1), -1, np.int32)
@@ -735,9 +737,94 @@ class GlobalLineTriangulator:
                     q.append(p)
         return flags_flat.reshape(I, L)
 
-    def compute_line_tracks(self) -> List[LineTrack]:
-        """run_clustering + build_tracks_from_clusters
-        (global_line_triangulator.cc:234-359)."""
+    def _cluster_labels_device(self):
+        """Device fast path for run_clustering: edge gating (3D linker
+        on best tris) + connected components run ON DEVICE from the
+        still-resident triangulation outputs; only per-node labels +
+        the float table ship to the host (the [I, L, Tc+1] edge table —
+        the dominant D2H at ~15 MB/s tunnel bandwidth — never leaves).
+        Semantics identical to the host path (tests/test_batch_chain.py
+        exercises both).  Returns the same tuple as _cluster_labels."""
+        I, L = len(self.img_ids), self.L
+        img_rows, outs, Tc = self._dev_results
+        cfg3d_cluster = self.cfg.linker3d.to_spatial_merging()
+
+        key = ("cluster_dev", I, L, Tc, repr(cfg3d_cluster))
+        if key not in _KERNEL_CACHE:
+            def cluster(floats_all, ints_all):
+                N = I * L
+                f = floats_all.reshape(N, 10)
+                b_start, b_end = f[:, 0:3], f[:, 3:6]
+                unc, score = f[:, 8], f[:, 9]
+                dst = ints_all.reshape(N, Tc + 1)[:, :Tc]
+                valid = dst >= 0
+                d = jnp.maximum(dst, 0)
+                src = jnp.broadcast_to(
+                    jnp.arange(N, dtype=jnp.int32)[:, None], (N, Tc))
+                # score the SORTED pair like the host path's unique
+                # undirected edge list (score_3d is not exactly
+                # symmetric under uncertainty scaling)
+                lo = jnp.minimum(src, d)
+                hi = jnp.maximum(src, d)
+                l1 = Segments(b_start[lo], b_end[lo],
+                              uncertainty=unc[lo])
+                l2 = Segments(b_start[hi], b_end[hi],
+                              uncertainty=unc[hi])
+                escore = score_3d(l1, l2, cfg3d_cluster)
+                keep = valid & (escore > 0) & (score[lo] > 0) \
+                    & (score[hi] > 0)
+                edges = jnp.stack([src.reshape(-1),
+                                   d.astype(jnp.int32).reshape(-1)], 1)
+                labels = connected_components(N, edges, keep.reshape(-1))
+                keep_f = keep.reshape(-1)
+                has_edge = (jnp.zeros(N, bool)
+                            .at[lo.reshape(-1)].max(keep_f)
+                            .at[hi.reshape(-1)].max(keep_f))
+                return labels, has_edge
+
+            _KERNEL_CACHE[key] = jax.jit(cluster)
+
+        # scatter group results into full [I, L, ...] tables on device
+        floats_all = jnp.zeros((I, L, 10), jnp.float32)
+        ints_all = jnp.full((I, L, Tc + 1), -1, jnp.int32)
+        for idxs, floats, ints in outs:
+            rsub = jnp.asarray([img_rows[oi] for oi in idxs], jnp.int32)
+            g = len(idxs)
+            floats_all = floats_all.at[rsub].set(floats[:g])
+            ints_all = ints_all.at[rsub].set(ints[:g])
+        labels_d, has_edge_d = _KERNEL_CACHE[key](floats_all, ints_all)
+        labels, has_edge, floats_np = jax.device_get(
+            [labels_d, has_edge_d, floats_all])
+        f = floats_np.reshape(I * L, 10)
+        # keep the float-valued host state arrays in sync for the rows
+        # that were actually triangulated (the int edge tables stay
+        # device-only on this path; _host_synced remains False so an
+        # explicit _sync_host can still fetch them)
+        rows_arr = np.asarray(img_rows, np.int64)
+        self.best_line3d[rows_arr, :, 0] = floats_np[rows_arr, :, 0:3]
+        self.best_line3d[rows_arr, :, 1] = floats_np[rows_arr, :, 3:6]
+        self.best_depths[rows_arr] = floats_np[rows_arr, :, 6:8]
+        self.best_unc[rows_arr] = floats_np[rows_arr, :, 8]
+        self.best_score[rows_arr] = floats_np[rows_arr, :, 9]
+        if not has_edge.any():
+            return None
+        # und consumers only need per-node degree > 0; synthesize
+        # self-edges for flagged nodes (shape [E, 2])
+        nodes = np.nonzero(has_edge)[0]
+        und = np.stack([nodes, nodes], 1)
+        return (np.asarray(labels, np.int64), und, f[:, 0:3], f[:, 3:6],
+                f[:, 8], f[:, 9])
+
+    def _cluster_labels(self):
+        """run_clustering (global_line_triangulator.cc:234-291): valid
+        undirected edges -> linker-gated edge list -> per-node labels.
+        Returns (labels, und, b_start, b_end, b_unc, b_score) or None
+        when there are no edges."""
+        if (self.cfg.min_num_outer_edges <= 0
+                and self.cfg.merging_strategy == "greedy"
+                and self._dev_results is not None
+                and not getattr(self, "_host_synced", True)):
+            return self._cluster_labels_device()
         self._sync_host()
         I = len(self.img_ids)
         L = self.L
@@ -755,7 +842,7 @@ class GlobalLineTriangulator:
         und = np.unique(np.sort(np.stack([src, dst], 1), axis=1), axis=0)
 
         if len(und) == 0:
-            return []
+            return None
 
         # edge test: 3D linker score on the best tris (cc:276-284;
         # reference keeps score = score_3d only).  Jitted + edge-count
@@ -791,7 +878,7 @@ class GlobalLineTriangulator:
         escore = escore[keep]
         und = und[keep]
         if len(und) == 0:
-            return []
+            return None
 
         strategy = self.cfg.merging_strategy
         if strategy in ("exhaustive", "avg"):
@@ -823,8 +910,12 @@ class GlobalLineTriangulator:
             raise ValueError(
                 f"unknown merging_strategy {strategy!r}; expected "
                 "'greedy', 'exhaustive' or 'avg'")
+        return labels, und, b_start, b_end, b_unc, b_score
 
-        # group into tracks (>= 2 nodes with an edge)
+    def _grouped_nodes(self, labels, und):
+        """Nodes with >= 1 valid edge, sorted by component label;
+        returns (nodes, track_of) keeping only components of >= 2."""
+        I, L = len(self.img_ids), self.L
         deg = np.zeros(I * L, np.int64)
         np.add.at(deg, und.reshape(-1), 1)
         node_ids = np.nonzero(deg > 0)[0]
@@ -832,10 +923,68 @@ class GlobalLineTriangulator:
         order = np.argsort(lab, kind="stable")
         node_ids = node_ids[order]
         lab = lab[order]
-        splits = np.nonzero(np.diff(lab))[0] + 1
-        groups = [g for g in np.split(node_ids, splits) if len(g) >= 2]
-        if not groups:
+        _, inv, counts = np.unique(lab, return_inverse=True,
+                                   return_counts=True)
+        keep_grp = counts >= 2
+        new_idx = np.cumsum(keep_grp) - 1
+        keep = keep_grp[inv]
+        return node_ids[keep], new_idx[inv[keep]].astype(np.int64)
+
+    def compute_track_batch(self, pow2_buckets: bool = True,
+                            return_host: bool = False):
+        """Vectorized track build straight into a padded
+        :class:`TrackBatch` — the batch-resident fast path the runner
+        and bench consume (host LineTrack objects never materialize;
+        equivalence with :meth:`compute_line_tracks` is asserted in
+        tests/test_batch_chain.py).  Returns None when no tracks; with
+        ``return_host`` returns (batch, HostTrackBatch support mirror —
+        its ``line`` is zeros until refreshed from the device)."""
+        from limap_tpu.base.linetrack import batch_from_flat_supports
+        res = self._cluster_labels()
+        if res is None:
+            return (None, None) if return_host else None
+        labels, und, b_start, b_end, b_unc, b_score = res
+        nodes, track_of = self._grouped_nodes(labels, und)
+        if not len(nodes):
+            return (None, None) if return_host else None
+        I, L = len(self.img_ids), self.L
+        l2s = np.asarray(self.lines2d.start).reshape(I * L, 2)
+        l2e = np.asarray(self.lines2d.end).reshape(I * L, 2)
+        img_ids_arr = np.asarray(self.img_ids)
+        rows = nodes // L
+        batch, (ti, si), *rest = batch_from_flat_supports(
+            track_of, rows.astype(np.int32),
+            img_ids_arr[rows].astype(np.int32),
+            (nodes % L).astype(np.int32),
+            np.stack([l2s[nodes], l2e[nodes]], 1),
+            np.stack([b_start[nodes], b_end[nodes]], 1),
+            b_score[nodes].astype(np.float32),
+            num_tracks=int(track_of[-1]) + 1,
+            pow2_buckets=pow2_buckets, return_slots=True,
+            return_host=return_host)
+        # batched aggregation (cc:346-351) with the triangulation
+        # uncertainty (min over the two proposal views)
+        u_pad = np.ones(batch.mask.shape, np.float32)
+        u_pad[ti, si] = b_unc[nodes]
+        seg3d = batch.line3d._replace(uncertainty=jnp.asarray(u_pad))
+        agg = aggregate_tracks(seg3d, batch.score, batch.mask,
+                               self.cfg.num_outliers_aggregator)
+        batch = batch._replace(line=agg)
+        return (batch, rest[0]) if return_host else batch
+
+    def compute_line_tracks(self) -> List[LineTrack]:
+        """run_clustering + build_tracks_from_clusters
+        (global_line_triangulator.cc:234-359)."""
+        res = self._cluster_labels()
+        if res is None:
             return []
+        labels, und, b_start, b_end, b_unc, b_score = res
+        nodes, track_of = self._grouped_nodes(labels, und)
+        if not len(nodes):
+            return []
+        I, L = len(self.img_ids), self.L
+        splits = np.nonzero(np.diff(track_of))[0] + 1
+        groups = np.split(nodes, splits)
 
         l2s = np.asarray(self.lines2d.start).reshape(I * L, 2)
         l2e = np.asarray(self.lines2d.end).reshape(I * L, 2)

@@ -11,7 +11,22 @@ import os
 
 import numpy as np
 
+from limap_tpu.base.depth_reader_base import BaseDepthReader
 from limap_tpu.pointsfm import ReadInfos, ReadPointTracks
+
+
+class ETH3DDepthReader(BaseDepthReader):
+    """16-bit png depth in 1/256 m units; 0 = missing -> inf
+    (reference runners/eth3d/ETH3D.py:81-85)."""
+
+    def read(self, filename: str) -> np.ndarray:
+        import cv2
+        depth = cv2.imread(filename, cv2.IMREAD_ANYDEPTH)
+        if depth is None:
+            raise FileNotFoundError(filename)
+        depth = depth.astype(np.float32) / 256
+        depth[depth == 0] = np.inf
+        return depth
 
 
 class ETH3D:
@@ -40,6 +55,29 @@ class ETH3D:
                       calib: str = "dslr_calibration_undistorted"):
         return ReadPointTracks(os.path.join(self.scene_dir(scene_id),
                                             calib))
+
+    # ---- ground-truth depth (reference ETH3D.py:81-102) ----
+    def get_depth_fname(self, scene_id: str, image_name: str,
+                        use_inpainted: bool = True) -> str:
+        """Depth png for an image: ``inpainted_depth/<name>.png`` when
+        available, else ``ground_truth_depth/<name>.png``.  image_name
+        may be an absolute path (as stored by read_imagecols) — it is
+        resolved relative to the scene's images folder."""
+        images_dir = os.path.join(self.scene_dir(scene_id), "images")
+        name = os.path.relpath(image_name, images_dir) \
+            if os.path.isabs(image_name) else image_name
+        sub = "inpainted_depth" if use_inpainted else \
+            "ground_truth_depth"
+        return os.path.join(self.scene_dir(scene_id), sub,
+                            f"{name}.png")
+
+    def read_depths(self, scene_id: str, imagecols,
+                    use_inpainted: bool = True) -> dict:
+        """{img_id: ETH3DDepthReader} for every image of the scene."""
+        return {img_id: ETH3DDepthReader(self.get_depth_fname(
+                    scene_id, imagecols.camimage(img_id).image_name,
+                    use_inpainted=use_inpainted))
+                for img_id in imagecols.get_img_ids()}
 
     def read_gt_scan(self, scene_id: str) -> np.ndarray:
         """GT laser scan point cloud (scan_clean ply files)."""

@@ -67,11 +67,29 @@ def main():
 
     if cfg["colmap_model_path"]:
         import limap_tpu.pointsfm as pointsfm
+        from limap_tpu.pointsfm.colmap_reader import read_model
         imagecols = pointsfm.ReadInfos(cfg["colmap_model_path"])
-        points3d = pointsfm.ReadPointTracks(cfg["colmap_model_path"])
-        pointtracks = [PointTrack(np.asarray(rec["xyz"]),
-                                  list(rec["image_ids"]))
-                       for rec in points3d.values()]
+        # point observations: resolve each track's point2D_idxs into
+        # the images' 2D keypoint coordinates — without them every
+        # point residual gets weight 0 and the "joint" BA silently
+        # degrades to line-only refinement
+        _, _, p2d_by_image, points3d = read_model(cfg["colmap_model_path"])
+        pointtracks = []
+        for rec in points3d.values():
+            pt = PointTrack(np.asarray(rec["xyz"]))
+            for img_id, p2d_idx in zip(rec["image_ids"],
+                                       rec.get("point2D_idxs", [])):
+                xy = p2d_by_image.get(img_id)
+                if xy is None or p2d_idx >= len(xy):
+                    continue
+                pt.image_id_list.append(int(img_id))
+                pt.p2d_list.append(np.asarray(xy[p2d_idx],
+                                              np.float64)[:2])
+            pointtracks.append(pt)
+        if pointtracks and not any(pt.p2d_list for pt in pointtracks):
+            raise ValueError(
+                "COLMAP model has no 2D observations for any point "
+                "track; joint BA would silently drop all point terms")
     else:
         # perturbed-GT poses + in-process SfM (offline path)
         rng = np.random.default_rng(0)

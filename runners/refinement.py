@@ -27,8 +27,11 @@ def main():
     cfg = update_config(cfg, unknown, {})
     tracks, saved_cfg, imagecols, all_2d_segs = \
         limapio.read_folder_linetracks_with_info(args.input_folder)
-    refinement_cfg = dict(cfg.get("refinement", {}))
-    refinement_cfg.update((saved_cfg or {}).get("refinement", {}))
+    # precedence: saved run config < user config file / CLI overrides
+    # (the config stored with the tracks is only a fallback; explicit
+    # user settings must win)
+    refinement_cfg = dict((saved_cfg or {}).get("refinement", {}))
+    refinement_cfg.update(cfg.get("refinement", {}))
     if args.use_vp:
         refinement_cfg["use_vp"] = True
     output_folder = args.output_folder or cfg.get("output_folder",
