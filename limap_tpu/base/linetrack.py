@@ -199,7 +199,8 @@ def _round_up(n: int, multiple: int) -> int:
 
 
 def _pow2(n: int) -> int:
-    return 1 << int(np.ceil(np.log2(max(n, 1))))
+    from limap_tpu.util import shape_bucket
+    return shape_bucket(n, min_bucket=2)
 
 
 def batch_from_flat_supports(

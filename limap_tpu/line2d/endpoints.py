@@ -143,7 +143,8 @@ def compute_descinfos_batch(imgs: dict, segs: dict) -> dict:
     PatchEndpointsExtractor.compute_descinfo."""
     ids = sorted(imgs.keys())
     Nmax = max(max((len(segs[i]) for i in ids), default=1), 1)
-    Npad = 1 << int(np.ceil(np.log2(max(Nmax, 2))))
+    from limap_tpu.util import shape_bucket
+    Npad = shape_bucket(Nmax)
     B = len(ids)
     all_u8 = all(np.asarray(imgs[i]).dtype == np.uint8
                  and np.asarray(imgs[i]).ndim == 2 for i in ids)
@@ -230,7 +231,8 @@ def match_all_neighbors_batched(imgs: dict, segs: dict, nbrs: dict,
     id2row = {img_id: r for r, img_id in enumerate(ids)}
     n_lines = {i: len(segs[i]) for i in ids}
     Nmax = max(max(n_lines.values()), 1)
-    Npad = 1 << int(np.ceil(np.log2(max(Nmax, 2))))
+    from limap_tpu.util import shape_bucket
+    Npad = shape_bucket(Nmax)
     B = len(ids)
     ep = np.zeros((B, 2 * Npad, 2), np.float32)
     dirs = np.zeros((B, 2 * Npad, 2), np.float32)
@@ -568,7 +570,8 @@ def batched_match_pairs(descinfos: dict, pairs, topk: int = 10,
     n_lines = {i: np.asarray(descinfos[i]["endpoints_desc"]).shape[1] // 2
                for i in ids}
     Lmax = max(max(n_lines.values()), 1)
-    Lpad = 1 << int(np.ceil(np.log2(max(Lmax, 2))))
+    from limap_tpu.util import shape_bucket
+    Lpad = shape_bucket(Lmax)
     D = max(np.asarray(descinfos[i]["endpoints_desc"]).shape[0]
             for i in ids)
     stack = np.zeros((len(ids), D, 2 * Lpad), np.float32)

@@ -69,7 +69,10 @@ def _grid_cc(mask: jnp.ndarray, n_rounds: int) -> jnp.ndarray:
         flat = jnp.append(lab.reshape(-1), jnp.int32(H * W))
         def body(_, fl):
             return fl.at[:-1].set(fl[fl[:-1]])
-        n_jumps = max(int(H * W).bit_length() // 2, 4)
+        # pointer doubling: log2(HW) jumps compress any chain in one
+        # round, letting n_rounds stay small (the serialized [H*W]
+        # gathers here are the whole detector's cost on TPU)
+        n_jumps = max(int(H * W).bit_length(), 4)
         flat = jax.lax.fori_loop(0, n_jumps, body, flat)
         return flat[:-1].reshape(H, W)
 
@@ -190,7 +193,7 @@ def detect_from_fields(mag: jnp.ndarray, theta: jnp.ndarray,
 
 
 def detect_segments(img: np.ndarray, n_bins: int = 8, max_segs: int = 2048,
-                    cc_rounds: int = 8, min_size: int = 12,
+                    cc_rounds: int = 2, min_size: int = 12,
                     grad_th: float = 0.03, max_width: float = 6.0,
                     min_density: float = 0.3) -> np.ndarray:
     """Host wrapper: grayscale uint8/float image -> (N, 5) segments."""

@@ -331,9 +331,10 @@ def remerge_once(tracks: List[LineTrack], views: CameraViewsBatch,
     # unbucketed [T, S] signature would recompile the check kernel per
     # iteration per run (tens of seconds over the TPU tunnel); the
     # padded rows are sliced off after the call
-    Tp = 1 << int(np.ceil(np.log2(max(T, 2))))
+    from limap_tpu.util import shape_bucket
+    Tp = shape_bucket(max(T, 2), min_bucket=2)
     S = batch.mask.shape[1]
-    Sp = 1 << int(np.ceil(np.log2(max(S, 2))))
+    Sp = shape_bucket(max(S, 2), min_bucket=2)
 
     def padTS(a):
         a = np.asarray(a)

@@ -122,8 +122,9 @@ class GlobalLineTriangulator:
         self.views = imagecols.batch()
         I = len(self.img_ids)
 
+        from limap_tpu.util import shape_bucket
         L = max((len(all_2d_segs[i]) for i in self.img_ids), default=1)
-        L = max(int(2 ** np.ceil(np.log2(max(L, 8)))), 8)
+        L = shape_bucket(L)
         self.L = L
         lines = np.zeros((I, L, 4), np.float32)
         mask = np.zeros((I, L), bool)
