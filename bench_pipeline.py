@@ -184,16 +184,19 @@ def run(n_views=N_VIEWS, repeats=1, include_baseline=True,
         from limap_tpu.line2d.endpoints import (
             match_all_neighbors_batched, upload_image_u8)
         t0 = time.perf_counter()
-        device_imgs = {i: upload_image_u8(img) for i, img in imgs.items()}
+        device_imgs = {i: upload_image_u8(img, downscale=2)
+                       for i, img in imgs.items()}
         segs = detect_arrays_parallel({"method": "lsd"}, imgs)
         t["detect"] = time.perf_counter() - t0
 
         # [2] fused describe+match: descriptors stay device-resident
-        # between extraction and pair scoring
+        # between extraction and pair scoring (half-res images: the
+        # patch grid samples at 2 px spacing, so the signal is intact
+        # while upload bytes/serialization drop 4x)
         t0 = time.perf_counter()
         matches_by_image = match_all_neighbors_batched(
             imgs, segs, nbrs, topk=2, min_score=0.5,
-            device_imgs=device_imgs)
+            device_imgs=device_imgs, img_scale=0.5)
         t["describe_match"] = time.perf_counter() - t0
 
         # [3] triangulation + scoring (device), [4] track building

@@ -197,12 +197,18 @@ def compute_descinfos_batch(imgs: dict, segs: dict) -> dict:
     return out
 
 
-def upload_image_u8(img) -> "jax.Array":
+def upload_image_u8(img, downscale: int = 1) -> "jax.Array":
     """Asynchronously ship one grayscale uint8 image to the device as a
     flat buffer.  Call this per image DURING detection so the ~45 MB/s
     tunnel transfer overlaps the host LSD work instead of serializing
     in front of the matcher (measured: 48 MB of protocol images cost
-    ~1.1 s when uploaded in one blocking batch)."""
+    ~1.1 s when uploaded in one blocking batch).
+
+    ``downscale`` ships a 1/s-resolution copy (cv2 INTER_AREA):
+    descriptor patches sample at PATCH_SPACING=2 px anyway, so a
+    half-res image preserves the sampled signal while cutting upload
+    bytes (and the gRPC serialization CPU they cost) 4x.  Pass
+    img_scale=1/downscale to match_all_neighbors_batched."""
     im = np.asarray(img)
     if im.dtype != np.uint8 or im.ndim != 2:
         im = np.asarray(im, np.float32)
@@ -211,13 +217,19 @@ def upload_image_u8(img) -> "jax.Array":
         if im.max() > 1.5:
             im = im / 255.0
         im = np.clip(im * 255.0, 0, 255).astype(np.uint8)
+    if downscale != 1:
+        import cv2
+        H, W = im.shape
+        im = cv2.resize(im, (W // downscale, H // downscale),
+                        interpolation=cv2.INTER_AREA)
     return jax.device_put(np.ascontiguousarray(im).reshape(-1))
 
 
 def match_all_neighbors_batched(imgs: dict, segs: dict, nbrs: dict,
                                 topk: int = 2, min_score: float = 0.5,
                                 chunk: int = 64,
-                                device_imgs: dict = None) -> dict:
+                                device_imgs: dict = None,
+                                img_scale: float = 1.0) -> dict:
     """Fused describe+match: descriptors are computed on device and fed
     straight into the pair scorer WITHOUT a host round trip (the
     [B, 2L, D] descriptor tensor is ~100 MB at protocol scale; D2H over
@@ -240,15 +252,22 @@ def match_all_neighbors_batched(imgs: dict, segs: dict, nbrs: dict,
     for r, i in enumerate(ids):
         s = np.asarray(segs[i])
         if len(s):
-            ep[r, :2 * len(s)] = s[:, :4].reshape(-1, 2)
+            # scaling BOTH endpoints and (unit) directions by img_scale
+            # samples the downscaled image over the same physical
+            # footprint: every grid offset in the kernel is a multiple
+            # of the direction vector
+            ep[r, :2 * len(s)] = s[:, :4].reshape(-1, 2) * img_scale
             d = s[:, 2:4] - s[:, :2]
             d = d / (np.linalg.norm(d, axis=1, keepdims=True) + 1e-8)
-            dirs[r, :2 * len(s)] = np.stack([d, -d], 1).reshape(-1, 2)
+            dirs[r, :2 * len(s)] = np.stack([d, -d], 1).reshape(-1, 2) \
+                * img_scale
     if device_imgs is not None:
         img_flat = jnp.concatenate([device_imgs[i] for i in ids])
-        im0 = device_imgs[ids[0]]
-        HW = im0.shape[0]
-        H, W = _infer_hw(imgs, ids, HW)
+        H, W = _infer_hw(imgs, ids, 0)
+        if img_scale != 1.0:
+            H, W = int(H * img_scale), int(W * img_scale)
+        assert device_imgs[ids[0]].shape[0] == H * W, \
+            "device image size does not match img_scale"
     else:
         img0 = np.asarray(imgs[ids[0]])
         H, W = img0.shape[:2]

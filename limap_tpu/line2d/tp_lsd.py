@@ -15,11 +15,17 @@ no region growing, which is why it maps so well to TPU:
 - strict checkpoint loader keyed to THIS MODULE'S OWN spec
   (``key_map`` adaptable).
 
-NOT checkpoint-compatible with the published TP-LSD weights: the
-upstream Res320 network lives in the external ``tp_lsd`` pip package
-(absent in-env and not vendored by the reference), so no verifiable
-parity target exists.  This is a TP-LSD-style (representation-
-inspired) detector — see README "Front-end model zoo: parity status".
+Faithful pieces (checkable against the reference tree): the head
+semantics match the published head dict {"center": 1, "dis": 4,
+"line": 1} (tp_lsd.py:22) and :func:`preprocess_tplsd` ports the exact
+HSV value-channel flattening the reference applies before inference
+(tp_lsd.py:57-74).  NOT checkpoint-compatible with the published
+Res512.pth weights: the upstream Res320 trunk lives only in the
+external ``tp_lsd`` pip package (absent in-env and not vendored by the
+reference), so its state_dict layout has no verifiable in-env source —
+the strict loader is keyed to THIS MODULE'S OWN trunk and fails loudly
+on mismatch (``key_map`` adapts alternative layouts).  See README
+"Front-end model zoo: parity status".
 """
 
 from __future__ import annotations
@@ -139,6 +145,26 @@ def tplsd_decode(center: jnp.ndarray, disp: jnp.ndarray, max_segs: int,
     return segs, count
 
 
+def preprocess_tplsd(img: np.ndarray) -> np.ndarray:
+    """The reference's exact TP-LSD input normalization
+    (/root/reference/src/limap/line2d/TP_LSD/tp_lsd.py:57-74): flatten
+    the HSV value channel by subtracting a heavily blurred quarter-res
+    copy, re-center at 127.5.  img: [H, W, 3] RGB uint8 -> [H, W, 3]
+    float32 in [0, 1] (BGR order, as fed to the published net)."""
+    import cv2
+    hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+    imgv0 = hsv[..., 2]
+    H, W = imgv0.shape
+    imgv = cv2.resize(imgv0, (0, 0), fx=0.25, fy=0.25,
+                      interpolation=cv2.INTER_LINEAR)
+    imgv = cv2.GaussianBlur(imgv, (5, 5), 3)
+    imgv = cv2.resize(imgv, (W, H), interpolation=cv2.INTER_LINEAR)
+    imgv = cv2.GaussianBlur(imgv, (5, 5), 3)
+    imgv1 = imgv0.astype(np.float32) - imgv + 127.5
+    hsv[..., 2] = np.clip(imgv1, 0, 255).astype(np.uint8)
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR).astype(np.float32) / 255.0
+
+
 @register_detector("tp_lsd")
 class TPLSDDetector(BaseDetector):
     def __init__(self, options: Optional[dict] = None):
@@ -171,9 +197,17 @@ class TPLSDDetector(BaseDetector):
         return "tp_lsd"
 
     def detect(self, camview) -> np.ndarray:
-        img = np.asarray(camview.read_image(set_gray=True), np.float32)
-        if img.max() > 1.5:
-            img = img / 255.0
+        img = np.asarray(camview.read_image(set_gray=False))
+        if img.ndim == 3 and img.shape[-1] == 3 \
+                and img.dtype == np.uint8:
+            # published preprocessing, then luminance for the 1-ch net
+            img = preprocess_tplsd(img).mean(-1)
+        else:
+            img = np.asarray(img, np.float32)
+            if img.ndim == 3:
+                img = img.mean(-1)
+            if img.max() > 1.5:
+                img = img / 255.0
         H, W = img.shape
         Hp, Wp = -(-H // 4) * 4, -(-W // 4) * 4
         buf = np.zeros((1, Hp, Wp, 1), np.float32)

@@ -27,6 +27,7 @@ from limap_tpu.optimize.line_ba import (get_output_tracks,
                                         unpack_minimal_lines)
 from limap_tpu.parallel.mesh import make_mesh
 from limap_tpu.parallel.sharded_ba import (HybridBAOptions, HybridBAState,
+                                           make_hybrid_ba_cost,
                                            make_hybrid_ba_step)
 
 
@@ -120,10 +121,26 @@ def solve_hybrid_bundle_adjustment(
     state = HybridBAState(line_params, jnp.asarray(xyz), pose_params,
                           cam_fxfy)
     step = make_hybrid_ba_step(mesh, nv, len(cam_ids), opts)
-    costs = []
+    cost_fn = make_hybrid_ba_cost(mesh, opts)
+    # Levenberg-Marquardt accept/reject with adaptive damping (the
+    # reference's Ceres solver is trust-region too,
+    # hybrid_bundle_adjustment.cc Solve): a fixed-damping iteration
+    # can oscillate on ill-conditioned ragged problems, and which side
+    # of the accept boundary a step lands on is what cross-device
+    # reassociation noise would otherwise flip
+    # (tests/test_multichip_parity.py ragged parity)
+    lam = opts.damping
+    cost_cur = float(cost_fn(state, line_data, point_data))
+    costs = [cost_cur]
     for _ in range(n_iterations):
-        state, cost = step(state, line_data, point_data)
-        costs.append(float(cost))
+        cand, _ = step(state, line_data, point_data, lam)
+        cost_new = float(cost_fn(cand, line_data, point_data))
+        if cost_new < cost_cur:
+            state, cost_cur = cand, cost_new
+            lam = max(lam / 3.0, 1e-6)
+        else:
+            lam = min(lam * 10.0, 1e3)
+        costs.append(cost_cur)
 
     # ---- unpack: new poses -> ImageCollection
     new_pose = np.asarray(state.pose_params)

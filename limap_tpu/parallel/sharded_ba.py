@@ -122,7 +122,9 @@ def _schur_terms(r0, J_land, J_cam, damping, land_dim):
 
 def _line_track_terms(line_params, pose_params, cam_fxfy, kvec, cam_index,
                       img_index, l2d_start, l2d_end, weight,
-                      opts: HybridBAOptions):
+                      opts: HybridBAOptions, lam=None):
+    if lam is None:
+        lam = opts.damping
     S = img_index.shape[0]
 
     def f(delta_l, delta_p, delta_c):
@@ -157,11 +159,14 @@ def _line_track_terms(line_params, pose_params, cam_fxfy, kvec, cam_index,
             else jnp.zeros_like(J_cam)
     if opts.constant_line:
         J_l = jnp.zeros_like(J_l)
-    return (r0,) + _schur_terms(r0, J_l, J_cam, opts.damping, 4)
+    return (r0,) + _schur_terms(r0, J_l, J_cam, lam, 4)
 
 
 def _point_track_terms(point, pose_params, cam_fxfy, kvec, cam_index,
-                       img_index, p2d, weight, opts: HybridBAOptions):
+                       img_index, p2d, weight, opts: HybridBAOptions,
+                       lam=None):
+    if lam is None:
+        lam = opts.damping
     S = img_index.shape[0]
     sw = np.sqrt(opts.lw_point)
 
@@ -193,7 +198,7 @@ def _point_track_terms(point, pose_params, cam_fxfy, kvec, cam_index,
             else jnp.zeros_like(J_cam)
     if opts.constant_point:
         J_x = jnp.zeros_like(J_x)
-    return (r0,) + _schur_terms(r0, J_x, J_cam, opts.damping, 3)
+    return (r0,) + _schur_terms(r0, J_x, J_cam, lam, 3)
 
 
 def _cols_for(img_index, cam_index, n_images, opts):
@@ -291,16 +296,16 @@ def make_hybrid_ba_step(mesh: Mesh, n_images: int, n_cameras: int = 1,
     pspec = tuple(P(TRACK_AXIS) for _ in range(5))
     state_spec = HybridBAState(P(TRACK_AXIS), P(TRACK_AXIS), P(), P())
 
-    def step(state: HybridBAState, line_data, point_data):
+    def step(state: HybridBAState, line_data, point_data, lam):
         kv_l, ci_l, ii_l, l2s, l2e, w_l = line_data
         kv_p, ci_p, ii_p, p2d, w_p = point_data
 
         lt = jax.vmap(lambda lp, kv, ci, ii, ls, le, w: _line_track_terms(
             lp, state.pose_params, state.cam_fxfy, kv, ci, ii, ls, le, w,
-            opts))(state.line_params, kv_l, ci_l, ii_l, l2s, l2e, w_l)
+            opts, lam))(state.line_params, kv_l, ci_l, ii_l, l2s, l2e, w_l)
         pt = jax.vmap(lambda x, kv, ci, ii, pp, w: _point_track_terms(
             x, state.pose_params, state.cam_fxfy, kv, ci, ii, pp, w,
-            opts))(state.point_params, kv_p, ci_p, ii_p, p2d, w_p)
+            opts, lam))(state.point_params, kv_p, ci_p, ii_p, p2d, w_p)
 
         (r0_l, Hd_l, Sr_l, g_l, Hinv_l, bl_l, Hcl_l) = lt
         (r0_p, Hd_p, Sr_p, g_p, Hinv_p, bl_p, Hcl_p) = pt
@@ -317,7 +322,6 @@ def make_hybrid_ba_step(mesh: Mesh, n_images: int, n_cameras: int = 1,
         fixed = jnp.arange(D) < opts.n_fixed_poses * 6
         if opts.constant_pose:
             fixed = fixed | (jnp.arange(D) < n_images * 6)
-        lam = opts.damping
 
         if use_dense:
             Hp = _accumulate_dense(D, cols_l, Hd_l, Sr_l) \
@@ -384,8 +388,66 @@ def make_hybrid_ba_step(mesh: Mesh, n_images: int, n_cameras: int = 1,
         return HybridBAState(new_lines, new_points, new_pose,
                              new_fxfy), cost
 
-    sharded = shard_map(step, mesh=mesh,
-                        in_specs=(state_spec, lspec, pspec),
-                        out_specs=(state_spec, P()),
-                        check_vma=False)
-    return jax.jit(sharded)
+    sharded = jax.jit(shard_map(step, mesh=mesh,
+                                in_specs=(state_spec, lspec, pspec, P()),
+                                out_specs=(state_spec, P()),
+                                check_vma=False))
+
+    def run(state, line_data, point_data, lam=None):
+        # lam is a TRACED damping scalar so the driver's LM accept/
+        # reject loop can adapt it without recompiling
+        if lam is None:
+            lam = opts.damping
+        return sharded(state, line_data, point_data,
+                       jnp.float32(lam))
+
+    return run
+
+
+def make_hybrid_ba_cost(mesh: Mesh, opts: HybridBAOptions = HybridBAOptions()):
+    """Residual-only cost of a HybridBAState (no Jacobians) — used by
+    the driver's LM accept/reject loop to evaluate candidate steps."""
+
+    def _line_cost(line_params, pose_params, cam_fxfy, kvec, cam_index,
+                   img_index, l2d_start, l2d_end, weight):
+        q = pose_params[img_index, :4]
+        t = pose_params[img_index, 4:7]
+        packed = jnp.concatenate([q, t], axis=-1)
+        views = _views(packed, kvec, cam_fxfy, cam_index,
+                       jnp.zeros((img_index.shape[0], 2)))
+        line = unpack_minimal_lines(line_params)
+        r = res.line_geometric_residual(line.uvec[None], line.wvec[None],
+                                        views,
+                                        Segments(l2d_start, l2d_end),
+                                        opts.geometric_alpha)
+        return _weighted(r, weight, opts)
+
+    def _point_cost(point, pose_params, cam_fxfy, kvec, cam_index,
+                    img_index, p2d, weight):
+        q = pose_params[img_index, :4]
+        t = pose_params[img_index, 4:7]
+        packed = jnp.concatenate([q, t], axis=-1)
+        views = _views(packed, kvec, cam_fxfy, cam_index,
+                       jnp.zeros((img_index.shape[0], 2)))
+        r = (views.project(point[None]) - p2d) * np.sqrt(opts.lw_point)
+        return _weighted(r, weight, opts)
+
+    lspec = tuple(P(TRACK_AXIS) for _ in range(6))
+    pspec = tuple(P(TRACK_AXIS) for _ in range(5))
+    state_spec = HybridBAState(P(TRACK_AXIS), P(TRACK_AXIS), P(), P())
+
+    def cost(state, line_data, point_data):
+        kv_l, ci_l, ii_l, l2s, l2e, w_l = line_data
+        kv_p, ci_p, ii_p, p2d, w_p = point_data
+        r_l = jax.vmap(lambda lp, kv, ci, ii, ls, le, w: _line_cost(
+            lp, state.pose_params, state.cam_fxfy, kv, ci, ii, ls, le,
+            w))(state.line_params, kv_l, ci_l, ii_l, l2s, l2e, w_l)
+        r_p = jax.vmap(lambda x, kv, ci, ii, pp, w: _point_cost(
+            x, state.pose_params, state.cam_fxfy, kv, ci, ii, pp,
+            w))(state.point_params, kv_p, ci_p, ii_p, p2d, w_p)
+        return jax.lax.psum(jnp.sum(r_l * r_l) + jnp.sum(r_p * r_p),
+                            TRACK_AXIS)
+
+    return jax.jit(shard_map(cost, mesh=mesh,
+                             in_specs=(state_spec, lspec, pspec),
+                             out_specs=P(), check_vma=False))
