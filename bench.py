@@ -199,8 +199,9 @@ def main():
                      f"{q.get('gt_coverage_0.05', 0):.1f}% "
                      f"prec@0.05={q.get('precision_0.05', 0):.1f}%; "
                      f"baseline=same front-end + C++ ref core "
-                     f"{pr.get('baseline_core_s', float('nan')):.2f}s; "
-                     f"hot stage: {hot_stage['value']} img/s "
+                     f"{pr.get('baseline_core_s', float('nan')):.2f}s "
+                     f"+ our filter/BA times as its filter/BA "
+                     f"stand-in; hot stage: {hot_stage['value']} img/s "
                      f"({hot_stage['vs_baseline']}x C++)"),
             "vs_baseline": pr.get("vs_baseline"),
             "hot_stage": hot_stage,

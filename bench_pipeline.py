@@ -12,10 +12,11 @@ scripts/quickstart.sh).
 
 ``vs_baseline``: same detected segments + matches fed to the
 C++/OpenMP reference-semantics engine (limap_tpu/cpp/ref_engine.cpp,
-triangulate + score + track build) with the SAME shared front-end
-times added.  Our total additionally includes filters + remerge + BA
-(which the baseline engine does not implement), so the ratio is
-conservative.
+triangulate + score + track build), with the SAME shared front-end
+times added AND our own filter/remerge/BA times charged to the
+baseline as a stand-in for the reference's OpenMP/Ceres versions of
+those stages (which the baseline engine does not implement) — an
+equal-scope, conservative comparison.
 
 Run standalone (prints one JSON line) or via bench.py.
 """
@@ -268,9 +269,16 @@ def run(n_views=N_VIEWS, repeats=1, include_baseline=True,
             res = ref_engine.run(
                 views_cpp, segs, matches_by_image, repeats=1,
                 cfg=TriangulatorConfig(max_tris_per_node=32))
+            # EQUAL-SCOPE baseline: shared front-end + the C++ core
+            # (triangulate + score + track build) + our own filter/BA
+            # times charged to the baseline too (the reference pipeline
+            # runs those stages in OpenMP/Ceres, which our baseline
+            # engine does not implement; charging our device times is
+            # the conservative stand-in and is stated in the output)
             base_total = (t["detect"] + t["describe_match"]
                           + res["triangulate_s"]
-                          + res.get("tracks_s", 0.0))
+                          + res.get("tracks_s", 0.0)
+                          + t["filters"] + t["ba"])
             out["baseline_total_s"] = base_total
             out["baseline_frames_per_sec"] = n_views / base_total
             out["vs_baseline"] = round(out["frames_per_sec"]
@@ -299,8 +307,8 @@ def main():
                  f"gt_coverage@0.05={q.get('gt_coverage_0.05', 0):.1f}% "
                  f"prec@0.05={q.get('precision_0.05', 0):.1f}%; "
                  f"baseline=same front-end + C++ ref core "
-                 f"{r.get('baseline_core_s', float('nan')):.2f}s, "
-                 "ours additionally runs filters+remerge+BA)"),
+                 f"{r.get('baseline_core_s', float('nan')):.2f}s + "
+                 "our filter/BA times as its filter/BA stand-in)"),
         "vs_baseline": r.get("vs_baseline"),
     }))
 

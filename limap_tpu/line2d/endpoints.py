@@ -123,10 +123,10 @@ class PatchEndpointsExtractor(BaseDetector):
 @partial(jax.jit, static_argnums=(3, 4, 5))
 def _sample_patch_descriptors_batch(img_flat, ep_flat, dirs_flat,
                                     B, H, W):
-    # flat 1-D uploads: multi-D host->device transfers go through a
-    # slow tiled-relayout path on the remote tunnel (~56 MB/s vs
-    # ~2 GB/s flat, measured in-env); uint8 images ship 4x fewer bytes
-    # and normalize on device
+    # flat 1-D uploads avoid multi-D relayout work; the tunnel link
+    # itself runs at ~40-50 MB/s H2D (measured r5 — r4's "2 GB/s flat"
+    # was a re-upload dedupe artifact), so uint8 images shipping 4x
+    # fewer bytes than f32 is the dominant win; normalize on device
     imgs = img_flat.reshape(B, H, W)
     if imgs.dtype == jnp.uint8:
         imgs = imgs.astype(jnp.float32) / 255.0

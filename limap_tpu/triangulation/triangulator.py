@@ -226,10 +226,10 @@ class GlobalLineTriangulator:
             # L <= 2048 and K <= 31 (slot 31 never occurs, so the max
             # real word (2047 << 5) | 30 = 65534 < the 0xFFFF
             # sentinel), else int32 ((b << 7) | slot, -1 = empty).  meta1d [G * (K + 1)] int32: neighbor row
-            # table + row id per image.  Uploaded as flat 1-D arrays:
-            # 2-D host->device transfers go through a slow
-            # tiled-relayout path on the remote tunnel (~56 MB/s vs
-            # ~2 GB/s flat, measured in-env).
+            # table + row id per image.  Uploaded as flat 1-D
+            # arrays; the tunnel link runs at ~40-50 MB/s H2D
+            # (measured r5), so halving bytes via the uint16 packing
+            # below is worth ~115 ms per protocol-scale pass.
             G = words1d.shape[0] // (L * T)
             N = G * L
             I = cam_packed.shape[0]

@@ -76,6 +76,14 @@ def main():
                         help="saved finaltracks folder (else triangulate)")
     parser.add_argument("--hloc_log", type=str, default=None,
                         help="hloc localization log pickle")
+    parser.add_argument("--run_hloc", action="store_true",
+                        help="drive hloc end-to-end (features, "
+                             "covisibility SfM, point localization) — "
+                             "requires the hloc toolbox installed; "
+                             "mirrors the reference run_hloc_7scenes")
+    parser.add_argument("--use_dense_depth", action="store_true",
+                        help="with --run_hloc: correct the SfM points "
+                             "with rendered GT depth")
     parser.add_argument("--point_corresp", type=str, default=None,
                         help="npz with p3ds_<qid>/p2ds_<qid> arrays")
     parser.add_argument("--results_path", type=str,
@@ -96,6 +104,26 @@ def main():
             args.linemap)
     else:
         linemap = line_triangulation(dict(cfg), imagecols_db)
+
+    if args.run_hloc and not args.hloc_log:
+        # end-to-end hloc driving (import-gated): produces the
+        # point-only results + the localization log the rest of this
+        # pipeline lifts 2D-3D point correspondences from
+        from utils import get_result_filenames, run_hloc_7scenes
+        results_point, _ = get_result_filenames(
+            cfg["localization"],
+            use_dense_depth=args.use_dense_depth)
+        out_dir = os.path.join(cfg.get("output_dir", "outputs"),
+                               f"7scenes_{args.scene}")
+        limapio.check_makedirs(out_dir)
+        _, log_path, _, _, _, _ = run_hloc_7scenes(
+            cfg, args.data_dir, args.scene,
+            os.path.join(out_dir, results_point),
+            os.path.join(scene_dir, "test_list.txt")
+            if os.path.exists(os.path.join(scene_dir, "test_list.txt"))
+            else None,
+            use_dense_depth=args.use_dense_depth)
+        args.hloc_log = log_path
 
     point_corresp = {}
     if args.point_corresp:
