@@ -636,9 +636,14 @@ class GlobalLineTriangulator:
         if group_size is None:
             # as many images per dispatch as ~2 GB of [L, TT, TT]
             # scoring intermediates allow (fewer dispatches = less
-            # per-call overhead on the remote tunnel)
+            # per-call overhead on the remote tunnel), then EQUALIZED
+            # over the resulting group count: padding the last group
+            # to a full-size one shipped + computed up to ~40% phantom
+            # images (100 imgs at cap 47 padded to 3x47 = 141)
             per_img = self.L * (Tc * Tc) * 4 * 12
             group_size = int(max(1, min(n, 2e9 // max(per_img, 1))))
+            n_groups = -(-n // group_size)
+            group_size = -(-n // n_groups)
         pad_n = (-n) % group_size
         if pad_n:  # pad to a whole number of groups with the last image
             words = np.concatenate([words,

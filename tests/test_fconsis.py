@@ -5,6 +5,7 @@ pixel_cost_functions.h FeatureConsisTgtFunctor)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.spatial.transform import Rotation
 
 import tests.conftest  # noqa: F401
@@ -80,6 +81,7 @@ def _err(batch, gt):
     return float(np.abs(out - np.stack(gt)).max())
 
 
+@pytest.mark.slow
 def test_fconsis_improves_over_geometric_only(rng):
     track, vb, featuremaps, gt = _scene(rng)
     id2idx = {i: i for i in range(4)}

@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from limap_tpu.features import (FeatureMap, GradientFeatureExtractor,
                                 extract_line_patches, interpolate_bicubic,
@@ -52,6 +53,7 @@ def test_gradient_extractor(rng):
     assert np.isfinite(np.asarray(v)).all()
 
 
+@pytest.mark.slow
 def test_refinement_with_heatmap(rng):
     """Heatmap term pulls a slightly-off line toward the heatmap ridge."""
     import jax.numpy as jnp

@@ -3,6 +3,7 @@ each other into consistency."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from limap_tpu.base.linetrack import tracks_to_batch
 from limap_tpu.optimize.global_pl_association import (GlobalAssociator,
@@ -11,6 +12,7 @@ from limap_tpu.structures import PointTrack
 from tests.test_line_ba import build_tracks
 
 
+@pytest.mark.slow
 def test_global_association_improves_geometry(rng):
     tracks, id2idx, vb, gt = build_tracks(rng, n_views=6, n_tracks=6,
                                           noise3d=0.05)

@@ -3,6 +3,7 @@ recover toward ground truth (reference optimize/solve.py:20-51 +
 HybridBAEngine semantics)."""
 
 import numpy as np
+import pytest
 from scipy.spatial.transform import Rotation
 
 import tests.conftest  # noqa: F401
@@ -66,6 +67,7 @@ def _scene(rng, n_views=6, n_lines=24, n_points=40):
     return gt_ic, noisy_ic, pointtracks, linetracks, gt_pts
 
 
+@pytest.mark.slow
 def test_hybrid_ba_recovers_poses(rng):
     gt_ic, noisy_ic, pts, lts, gt_pts = _scene(rng)
     te0, re0 = eval_imagecols(noisy_ic, gt_ic)

@@ -31,6 +31,7 @@ def test_umeyama(rng):
 @pytest.mark.parametrize("matcher_2d", [
     "epipolar",
     pytest.param("superglue_endpoints", marks=pytest.mark.slow)])
+@pytest.mark.slow
 def test_hybrid_localization_pipeline(rng, tmp_path, cfg_dir, matcher_2d):
     """End-to-end hybrid localization; parameterized over the 2D-2D
     line matcher: epipolar IoU and the learned superglue_endpoints
@@ -86,6 +87,7 @@ def test_hybrid_localization_pipeline(rng, tmp_path, cfg_dir, matcher_2d):
     assert os.path.isfile(results_path)
 
 
+@pytest.mark.slow
 def test_line_refinement_with_vp(rng):
     """Refinement with VP constraints keeps direction aligned to VP."""
     import jax.numpy as jnp

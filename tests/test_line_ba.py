@@ -4,6 +4,7 @@ pose/track perturbation, base/unit_test.py:6-44)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.spatial.transform import Rotation
 
 from limap_tpu.base import CameraViewsBatch, Segments
@@ -64,6 +65,7 @@ def mean_residual(batch, views, lines: MinimalInfiniteLines3d):
     return float(jnp.sum(jnp.abs(r)) / jnp.sum(batch.mask) / 2)
 
 
+@pytest.mark.slow
 def test_line_ba_converges_to_gt(rng):
     tracks, id2idx, vb, gt = build_tracks(rng)
     batch = tracks_to_batch(tracks, id2idx)
@@ -91,6 +93,7 @@ def test_line_ba_converges_to_gt(rng):
         assert d < 0.05
 
 
+@pytest.mark.slow
 def test_line_ba_respects_min_num_images(rng):
     tracks, id2idx, vb, gt = build_tracks(rng, n_views=3, n_tracks=4)
     batch = tracks_to_batch(tracks, id2idx)

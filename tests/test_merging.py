@@ -4,6 +4,7 @@ synthetic multi-view scene with GT depth."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.spatial.transform import Rotation
 
 from limap_tpu.base import CameraViewsBatch, LineLinker, Segments
@@ -50,6 +51,7 @@ def test_aggregate_tls_branch(rng):
     assert abs(abs(d @ axis) - 1.0) < 1e-3
 
 
+@pytest.mark.slow
 def test_fit_lines_ransac(rng):
     # 3 segments: clean line, line with outliers, pure noise
     S = 64
@@ -134,6 +136,7 @@ def test_merge_to_linetracks(rng):
         assert min(seg_dist(i) for i in range(n_lines)) < 0.05
 
 
+@pytest.mark.slow
 def test_filter_and_remerge(rng):
     n_views, n_lines = 4, 5
     views, batch, gt, l2d, l3d = make_scene(rng, n_views, n_lines)
@@ -160,6 +163,7 @@ def test_filter_and_remerge(rng):
     assert len(merged) == len(tracks)
 
 
+@pytest.mark.slow
 def test_merging_strategies(rng):
     """avg/exhaustive strategies reject merges across distant lines."""
     from limap_tpu.base.line_linker import LineLinker3dConfig

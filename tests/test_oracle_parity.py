@@ -72,6 +72,7 @@ def project_all(views, gt, noise, rng):
 # ------------------------------------------------------------ micro parity
 
 
+@pytest.mark.slow
 def test_epipolar_iou_matches_oracle(rng):
     views = make_views(rng, 2)
     gt = make_gt_lines(rng, 16)

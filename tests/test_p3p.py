@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.spatial.transform import Rotation
 
 from limap_tpu.estimators.p3p import kabsch, p3p
@@ -15,6 +16,7 @@ def test_kabsch(rng):
     np.testing.assert_allclose(np.asarray(t), t_gt, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_p3p_recovers_pose(rng):
     n = 64
     found = 0

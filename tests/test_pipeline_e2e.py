@@ -119,6 +119,7 @@ def cfg_dir():
         os.path.abspath(__file__))), "cfgs")
 
 
+@pytest.mark.slow
 def test_fitnmerge_e2e(rng, tmp_path, cfg_dir):
     from limap_tpu.runners import line_fitnmerge
     imagecols, gt, depths = make_scene(rng, tmp_path)
@@ -142,6 +143,7 @@ def test_fitnmerge_e2e(rng, tmp_path, cfg_dir):
     assert licols.NumImages() == imagecols.NumImages()
 
 
+@pytest.mark.slow
 def test_triangulation_e2e(rng, tmp_path, cfg_dir):
     from limap_tpu.runners import line_triangulation
     imagecols, gt, depths = make_scene(rng, tmp_path)

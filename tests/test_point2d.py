@@ -43,6 +43,7 @@ def test_sinkhorn_match_identity(rng):
     assert (m[:, 0] == m[:, 1]).all()
 
 
+@pytest.mark.slow
 def test_superpoint_architecture_runs(rng):
     """No pretrained weights in this environment — verify the net runs
     and produces well-formed outputs with random init."""

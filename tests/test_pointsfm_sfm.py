@@ -3,6 +3,7 @@ model that feeds Dice-ranked neighbors (replaces the pose-proximity
 fallback; reference pointsfm/colmap_sfm.py:20-128)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 from scipy.spatial.transform import Rotation
 
@@ -44,6 +45,7 @@ def _scene(rng, n_views=6, n_points=40):
     return imagecols, features, pts
 
 
+@pytest.mark.slow
 def test_sfm_with_known_poses_recovers_points(rng):
     imagecols, features, gt_pts = _scene(rng)
     points3d = run_sfm_with_known_poses(imagecols, features=features,

@@ -5,6 +5,7 @@ for the dense and the matrix-free CG reduced-camera solvers."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.spatial.transform import Rotation
 
 from limap_tpu.base import CameraViewsBatch, Segments
@@ -92,6 +93,7 @@ def build_problem(rng, n_views=6, n_tracks=16, n_points=16,
             (qvecs, tvecs, gt_pts))
 
 
+@pytest.mark.slow
 def test_sharded_hybrid_ba_converges(rng):
     assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
     state, ldata, pdata, n_views, gt_all = build_problem(rng)
@@ -122,6 +124,7 @@ def test_sharded_hybrid_ba_converges(rng):
                   - gt_pts).max() < 5e-2
 
 
+@pytest.mark.slow
 def test_cg_solver_matches_dense(rng):
     """The matrix-free CG path converges like the dense Schur solve."""
     state, ldata, pdata, n_views, _ = build_problem(rng, n_tracks=8,
@@ -160,6 +163,7 @@ def test_constancy_flags(rng):
                            np.asarray(state.line_params))
 
 
+@pytest.mark.slow
 def test_optimize_focal_recovers_scale(rng):
     """A global focal perturbation is corrected when optimize_focal is
     on (points provide the absolute constraint)."""

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.spatial.transform import Rotation
 
 from limap_tpu.base import CameraViewsBatch, InfiniteLines3d, Segments
@@ -100,6 +101,7 @@ def test_triangulate_with_direction(rng):
                                np.asarray(seg3d.start)[ok], atol=0.15)
 
 
+@pytest.mark.slow
 def test_triangulate_with_one_point(rng):
     seg3d, l1, v1, l2, v2 = synthetic_pair(rng, n=12)
     midpoint = seg3d.midpoint()
