@@ -488,39 +488,36 @@ class GlobalLineTriangulator:
         self._host_synced = False
         jax.block_until_ready(floats)
 
-    def _bucket_arrays(self, rows: List[int], matches_list: List[dict]):
-        """Host-side bucketing: per-line candidate edges, slot-major
-        stable order, dense [n, L, T] slots.  Edges beyond the T bucket
-        are dropped and counted (``overflow``) — the reference has no
-        such cap (global_line_triangulator.h:17 caps valid *edges* at
-        1000, not proposals), so a non-zero overflow means
-        ``max_tris_per_node`` should be raised for this scene."""
+    def _gather_edges(self, rows: List[int], matches_list: List[dict]):
+        """Per-image candidate-edge key/val arrays (slot-major, stable)
+        plus the global slot count K and bucket width Tc — the cheap
+        first half of bucketing, separated so the expensive per-group
+        dense fill can be prefetched while earlier groups upload."""
         T = self.cfg.max_tris_per_node
         L = self.L
-        n = len(rows)
         K = max((len(m) for m in matches_list), default=1) or 1
         assert K <= 127, "slot encoding uses 7 bits"
-        # gather all edges (slot-major per image, preserving order)
-        key_parts, val_parts = [], []
-        nbr_rows = []
-        for gi, matches in enumerate(matches_list):
+        per_key, per_val, nbr_rows = [], [], []
+        max_count = 1
+        for matches in matches_list:
             neighbors = sorted(matches.keys())
             nbr_rows.append([self.id2idx[ng] for ng in neighbors])
+            kk, vv = [], []
             for s_i, ng in enumerate(neighbors):
                 m = np.asarray(matches[ng]).reshape(-1, 2)
                 if not len(m):
                     continue
-                key_parts.append(gi * L + m[:, 0].astype(np.int64))
-                val_parts.append((m[:, 1].astype(np.int32) << 7) | s_i)
-        if key_parts:
-            key = np.concatenate(key_parts)
-            vals = np.concatenate(val_parts)
-            counts = np.bincount(key, minlength=n * L)
-            max_count = int(counts.max()) if len(counts) else 1
-        else:
-            key = np.zeros(0, np.int64)
-            vals = np.zeros(0, np.int32)
-            max_count = 1
+                kk.append(m[:, 0].astype(np.int64))
+                vv.append((m[:, 1].astype(np.int32) << 7) | s_i)
+            if kk:
+                k = np.concatenate(kk)
+                per_key.append(k)
+                per_val.append(np.concatenate(vv))
+                max_count = max(max_count,
+                                int(np.bincount(k, minlength=L).max()))
+            else:
+                per_key.append(np.zeros(0, np.int64))
+                per_val.append(np.zeros(0, np.int32))
         # effective bucket width: cover of the actual max edges/line,
         # capped at max_tris_per_node — upload bytes scale with Tc and
         # scoring compute with Tc^2, so the cover is the next multiple
@@ -534,22 +531,46 @@ class GlobalLineTriangulator:
         else:
             Tc = int(8 * ((max_count + 7) // 8))
         Tc = min(T, Tc)
-        # native single-pass stable fill (numpy fallback inside)
+        return per_key, per_val, nbr_rows, K, Tc
+
+    def _fill_group(self, per_key, per_val, nbr_rows, rows, g0, g1,
+                    K, Tc):
+        """Dense [g, L, Tc] edge-word fill for images [g0, g1) — the
+        native single-pass stable bucket + uint16 re-encode + meta."""
+        L = self.L
+        g = g1 - g0
+        kk = [per_key[i] + (i - g0) * L for i in range(g0, g1)]
+        key = np.concatenate(kk) if kk else np.zeros(0, np.int64)
+        vals = np.concatenate(per_val[g0:g1]) if g else \
+            np.zeros(0, np.int32)
         from limap_tpu.ops import hostops
-        words, overflow = hostops.bucket_scene(key, vals, n * L, Tc)
-        words = words.reshape(n, L * Tc)
+        words, overflow = hostops.bucket_scene(key, vals, g * L, Tc)
+        words = words.reshape(g, L * Tc)
         if L <= 2048 and K <= 31:
             # uint16 re-encode ((b << 5) | slot, 0xFFFF = empty):
             # halves the dominant host->device transfer.  With K <= 31
             # slot 31 never occurs, so the sentinel cannot collide even
             # at b = L-1 = 2047.
-            assert K <= 31, "uint16 slot field is 5 bits with 31 reserved"
             w16 = ((words >> 7) << 5 | (words & 0x7F)).astype(np.uint16)
             words = np.where(words < 0, np.uint16(0xFFFF), w16)
-        meta = np.full((n, K + 1), -1, np.int32)
-        for gi, nr in enumerate(nbr_rows):
-            meta[gi, :len(nr)] = nr
-        meta[:, K] = np.asarray(rows, np.int32)
+        meta = np.full((g, K + 1), -1, np.int32)
+        for i in range(g0, g1):
+            nr = nbr_rows[i]
+            meta[i - g0, :len(nr)] = nr
+            meta[i - g0, K] = rows[i]
+        return words, meta, overflow
+
+    def _bucket_arrays(self, rows: List[int], matches_list: List[dict]):
+        """Host-side bucketing: per-line candidate edges, slot-major
+        stable order, dense [n, L, T] slots.  Edges beyond the T bucket
+        are dropped and counted (``overflow``) — the reference has no
+        such cap (global_line_triangulator.h:17 caps valid *edges* at
+        1000, not proposals), so a non-zero overflow means
+        ``max_tris_per_node`` should be raised for this scene."""
+        per_key, per_val, nbr_rows, K, Tc = self._gather_edges(
+            rows, matches_list)
+        words, meta, overflow = self._fill_group(
+            per_key, per_val, nbr_rows, rows, 0, len(rows), K, Tc)
         return words, meta, K, Tc, overflow
 
     # ----------------------------------------------------- triangulation
@@ -608,6 +629,7 @@ class GlobalLineTriangulator:
         the packed results replaces hundreds of per-image round trips
         (26 ms RTT per synchronization measured in-env)."""
         import time as _time
+        from concurrent.futures import ThreadPoolExecutor
         t_start = _time.perf_counter()
         rows, matches_list = [], []
         for img_id in self.img_ids:
@@ -618,16 +640,9 @@ class GlobalLineTriangulator:
             matches_list.append(m)
         if not rows:
             return
-        words, meta, K, Tc, overflow = self._bucket_arrays(rows,
-                                                           matches_list)
+        per_key, per_val, nbr_rows, K, Tc = self._gather_edges(
+            rows, matches_list)
         t_bucket = _time.perf_counter()
-        self.overflow_edges = overflow
-        if overflow:
-            import warnings
-            warnings.warn(
-                f"{overflow} candidate edges dropped by the "
-                f"max_tris_per_node={self.cfg.max_tris_per_node} bucket; "
-                f"raise it for full recall", stacklevel=2)
         kern = self._get_bucket_kernel(K, Tc)
         lo = self.ranges[0] if self.ranges is not None else None
         hi = self.ranges[1] if self.ranges is not None else None
@@ -645,26 +660,48 @@ class GlobalLineTriangulator:
             n_groups = -(-n // group_size)
             group_size = -(-n // n_groups)
         pad_n = (-n) % group_size
-        if pad_n:  # pad to a whole number of groups with the last image
-            words = np.concatenate([words,
-                                    np.repeat(words[-1:], pad_n, 0)])
-            meta = np.concatenate([meta, np.repeat(meta[-1:], pad_n, 0)])
+        for _ in range(pad_n):
+            # pad to a whole number of groups with the last image
+            per_key.append(per_key[n - 1])
+            per_val.append(per_val[n - 1])
+            nbr_rows.append(nbr_rows[n - 1])
+            rows.append(rows[n - 1])
+        n_pad = n + pad_n
 
-        # pipelined upload + dispatch: each group's host->device
-        # transfer is submitted asynchronously and overlaps the
-        # previous group's device compute (the two stages were serial
-        # before: 474 ms upload + 404 ms compute at protocol scale;
-        # overlapped they cost ~max of the two)
+        # three-stage pipeline: the prefetch thread densifies group
+        # g+1's edge words (native bucket + uint16 encode, GIL-free)
+        # while group g's host->device transfer streams and group g-1
+        # computes — at protocol scale the serial version spent
+        # bucket 88 ms + upload 165 ms + compute in sequence
+        overflow = 0
+        upload_bytes = 0
         outs = []
-        for g0 in range(0, n, group_size):
-            g1 = min(g0 + group_size, n)
-            d_words = jax.device_put(np.ascontiguousarray(
-                words[g0:g0 + group_size]).reshape(-1))
-            d_meta = jax.device_put(np.ascontiguousarray(
-                meta[g0:g0 + group_size]).reshape(-1))
-            floats, ints = kern(self._l2d_packed, self._cam_packed,
-                                d_words, d_meta, self.vpresults, lo, hi)
-            outs.append((list(range(g0, g1)), floats, ints))
+        groups = [(g0, min(g0 + group_size, n_pad))
+                  for g0 in range(0, n_pad, group_size)]
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            futs = [ex.submit(self._fill_group, per_key, per_val,
+                              nbr_rows, rows, g0, g1, K, Tc)
+                    for g0, g1 in groups]
+            for (g0, g1), fut in zip(groups, futs):
+                words, meta, ovf = fut.result()
+                overflow += ovf
+                upload_bytes += words.nbytes + meta.nbytes
+                d_words = jax.device_put(np.ascontiguousarray(
+                    words).reshape(-1))
+                d_meta = jax.device_put(np.ascontiguousarray(
+                    meta).reshape(-1))
+                floats, ints = kern(self._l2d_packed, self._cam_packed,
+                                    d_words, d_meta, self.vpresults,
+                                    lo, hi)
+                outs.append((list(range(g0, min(g1, n))), floats, ints))
+        rows = rows[:n]
+        self.overflow_edges = overflow
+        if overflow:
+            import warnings
+            warnings.warn(
+                f"{overflow} candidate edges dropped by the "
+                f"max_tris_per_node={self.cfg.max_tris_per_node} bucket; "
+                f"raise it for full recall", stacklevel=2)
         self._dev_results = (rows, outs, Tc)
         self._host_synced = False
         t_dispatch = _time.perf_counter()
@@ -672,15 +709,16 @@ class GlobalLineTriangulator:
         t_end = _time.perf_counter()
         # per-stage attribution measured INSIDE the pass: parts sum to
         # the pass total by construction (bench.py consumes this).
-        # upload+device are pipelined, so they are attributed together
-        # (= dispatch-loop time + final wait).
+        # bucket fill / upload / device compute are all pipelined, so
+        # they are attributed together (= dispatch-loop time + final
+        # wait); bucket_s is the serial edge-gather prefix only.
         self.timings = {
             "bucket_s": t_bucket - t_start,
             "upload_s": 0.0,
             "dispatch_s": t_dispatch - t_bucket,
             "device_s": t_end - t_dispatch,
             "total_s": t_end - t_start,
-            "upload_bytes": int(words.nbytes + meta.nbytes),
+            "upload_bytes": int(upload_bytes),
             "Tc": Tc,
         }
 
