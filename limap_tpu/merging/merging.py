@@ -317,6 +317,38 @@ def _run_remerge_check(check, batch: TrackBatch,
     return np.unpackbits(packed, axis=1, count=T).astype(bool)
 
 
+@functools.lru_cache(maxsize=16)
+def _build_remerge_labels(cfg: LineLinker3dConfig):
+    """Fused remerge iteration kernel: pairwise linker check AND the
+    connected-components labeling run in ONE device call, so only the
+    [T] label vector ships back (the bit-packed [T, T/8] matrix plus a
+    separate CC dispatch cost two round trips per fixpoint
+    iteration)."""
+    @jax.jit
+    def run(line_start, line_end, line3d_start, line3d_end, mask, kvec,
+            qvec, tvec, tmask):
+        sv = CameraViewsBatch(kvec, qvec, tvec)
+        u_support = lg.compute_uncertainty(
+            Segments(line3d_start, line3d_end), sv)
+        u = jnp.min(jnp.where(mask, u_support, 1e30), axis=1)
+        line = Segments(line_start, line_end, uncertainty=u)
+        T = line_start.shape[0]
+        ok = check_3d(_expand(line, 1), _expand(line, 0), cfg)
+        ok = ok & ~jnp.eye(T, dtype=bool) \
+            & tmask[:, None] & tmask[None, :]
+        ok = ok | ok.T
+        ii = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None],
+                              (T, T))
+        jj = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :],
+                              (T, T))
+        edges = jnp.stack([ii.reshape(-1), jj.reshape(-1)], 1)
+        labels = connected_components(T, edges, ok.reshape(-1))
+        changed = jnp.any(labels != jnp.arange(T, dtype=jnp.int32))
+        return labels, changed
+
+    return run
+
+
 def remerge_once(tracks: List[LineTrack], views: CameraViewsBatch,
                  id2idx: Dict[int, int], cfg3d: LineLinker3dConfig,
                  num_outliers: int = 2) -> List[LineTrack]:
@@ -512,7 +544,7 @@ def remerge_batch(batch: TrackBatch, views: CameraViewsBatch,
     semantics match :func:`remerge` (validated in
     tests/test_batch_chain.py).  Returns (batch, host)."""
     cfg = cfg3d.to_spatial_merging()
-    check = _build_remerge_check(cfg)
+    kernel = _build_remerge_labels(cfg)
     host = (host.refresh(batch) if host is not None
             else HostTrackBatch.download(batch))
     n_prev = None
@@ -521,24 +553,17 @@ def remerge_batch(batch: TrackBatch, views: CameraViewsBatch,
         if T <= 1 or (n_prev is not None and T == n_prev):
             break
         n_prev = T
-        # device pairwise check on the padded batch; padded tracks are
-        # masked out afterwards (their uncertainty is 1e30 -> spurious
-        # connections are possible inside the kernel)
+        # ONE device call per iteration (pairwise check + CC fused);
+        # padded/invalid tracks are masked inside the kernel and only
+        # the [T] label vector ships back over the ~15 MB/s tunnel
         sv = _support_views(batch, views)
-        ok = _run_remerge_check(check, batch, sv)
-        tvalid = host.track_mask
-        ok &= tvalid[:, None] & tvalid[None, :]
-        pairs = np.argwhere(np.triu(ok | ok.T, k=1))
-        if not len(pairs):
+        labels, changed = jax.device_get(kernel(
+            batch.line.start, batch.line.end, batch.line3d.start,
+            batch.line3d.end, batch.mask, sv.kvec, sv.qvec, sv.tvec,
+            jnp.asarray(host.track_mask)))
+        if not bool(changed):
             break
-        Tp = len(host.track_mask)
-        E_pad = max(len(pairs), 1)
-        edges = np.zeros((E_pad, 2), np.int32)
-        edges[:len(pairs)] = pairs
-        emask = np.arange(E_pad) < len(pairs)
-        labels = np.asarray(connected_components(
-            Tp, jnp.asarray(edges), jnp.asarray(emask)))
-        batch, host = compact_track_batch(host, labels,
+        batch, host = compact_track_batch(host, np.asarray(labels),
                                           return_host=True)
         batch = _aggregate_batch(batch, views, num_outliers)
         # _aggregate_batch only rewrites the line on device; the mirror
