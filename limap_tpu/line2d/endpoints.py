@@ -227,7 +227,7 @@ def upload_image_u8(img, downscale: int = 1) -> "jax.Array":
 
 def match_all_neighbors_batched(imgs: dict, segs: dict, nbrs: dict,
                                 topk: int = 2, min_score: float = 0.5,
-                                chunk: int = 64,
+                                chunk: int = 125,
                                 device_imgs: dict = None,
                                 img_scale: float = 1.0) -> dict:
     """Fused describe+match: descriptors are computed on device and fed
