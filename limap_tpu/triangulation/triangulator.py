@@ -798,8 +798,6 @@ class GlobalLineTriangulator:
             def cluster(floats_all, ints_all):
                 N = I * L
                 f = floats_all.reshape(N, 10)
-                b_start, b_end = f[:, 0:3], f[:, 3:6]
-                unc, score = f[:, 8], f[:, 9]
                 dst = ints_all.reshape(N, Tc + 1)[:, :Tc]
                 valid = dst >= 0
                 d = jnp.maximum(dst, 0)
@@ -807,16 +805,21 @@ class GlobalLineTriangulator:
                     jnp.arange(N, dtype=jnp.int32)[:, None], (N, Tc))
                 # score the SORTED pair like the host path's unique
                 # undirected edge list (score_3d is not exactly
-                # symmetric under uncertainty scaling)
+                # symmetric under uncertainty scaling).  Node fields
+                # gather as TWO wide [.., 10] row-gathers — fourteen
+                # separate scalar gathers over 1.5M indices were the
+                # bulk of this kernel's 0.46 s
                 lo = jnp.minimum(src, d)
                 hi = jnp.maximum(src, d)
-                l1 = Segments(b_start[lo], b_end[lo],
-                              uncertainty=unc[lo])
-                l2 = Segments(b_start[hi], b_end[hi],
-                              uncertainty=unc[hi])
+                flo = f[lo]                    # [N, Tc, 10]
+                fhi = f[hi]
+                l1 = Segments(flo[..., 0:3], flo[..., 3:6],
+                              uncertainty=flo[..., 8])
+                l2 = Segments(fhi[..., 0:3], fhi[..., 3:6],
+                              uncertainty=fhi[..., 8])
                 escore = score_3d(l1, l2, cfg3d_cluster)
-                keep = valid & (escore > 0) & (score[lo] > 0) \
-                    & (score[hi] > 0)
+                keep = valid & (escore > 0) & (flo[..., 9] > 0) \
+                    & (fhi[..., 9] > 0)
                 edges = jnp.stack([src.reshape(-1),
                                    d.astype(jnp.int32).reshape(-1)], 1)
                 labels = connected_components(N, edges, keep.reshape(-1))
