@@ -3,6 +3,11 @@
 
 Scene layout: a VisualSfM reconstruction (reconstruction.nvm) +
 dataset_train.txt / dataset_test.txt splits with per-image poses.
+
+With the hloc toolbox installed, ``utils.run_hloc_cambridge`` drives
+retrieval/features/known-pose SfM/point localization end-to-end
+(reference runners/cambridge/utils.py flow); ``utils.evaluate``
+reports the dataset's median-error + recall-table protocol.
 """
 
 import argparse

@@ -3,7 +3,10 @@
 InLoc is RGB-D on the database side: the line map is built with
 line_fitting_with_points3d over the per-cutout scans, queries localize
 with hybrid PnPL.  Scans and query lists are taken as prepared npz/txt
-inputs (the reference obtains them through hloc's InLoc pipeline).
+inputs.  With the hloc toolbox installed, ``utils.run_hloc_inloc``
+obtains them end-to-end (reference runners/inloc/utils.py flow);
+``utils.InLocP3DReader`` reads the scan point maps for the
+fit-from-point-cloud path.
 """
 
 import argparse
