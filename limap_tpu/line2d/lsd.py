@@ -40,3 +40,42 @@ class LSDDetector(BaseDetector):
         segs = lines.reshape(-1, 4).astype(np.float64)
         lengths = np.linalg.norm(segs[:, 2:4] - segs[:, :2], axis=1)
         return np.concatenate([segs, np.sqrt(lengths)[:, None]], axis=1)
+
+    def detect_all_images(self, output_folder, imagecols,
+                          skip_exists: bool = False):
+        """Threaded folder-level detection (the reference fans this out
+        with joblib, line2d/base_detector.py detect_all_images).  One
+        cv2 LSD instance per thread: a shared instance segfaults."""
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        from limap_tpu.util import io as limapio
+
+        seg_folder = self.get_segments_folder(output_folder)
+        if not skip_exists:
+            limapio.delete_folder(seg_folder)
+        limapio.check_makedirs(seg_folder)
+        tl = threading.local()
+
+        def work(img_id):
+            if skip_exists and limapio.exists_txt_segments(seg_folder,
+                                                           img_id):
+                return
+            if not hasattr(tl, "det"):
+                tl.det = LSDDetector(
+                    {"max_num_2d_segs": self.max_num_2d_segs})
+            segs = tl.det.detect(imagecols.camview(img_id))
+            if self.do_merge_lines and len(segs):
+                from limap_tpu.line2d.line_utils import merge_lines
+                merged = merge_lines(segs)
+                lengths = np.linalg.norm(
+                    merged[:, 2:4] - merged[:, :2], axis=1)
+                segs = np.concatenate(
+                    [merged, np.sqrt(lengths)[:, None]], axis=1)
+            segs, _ = self.take_longest_k(segs, self.max_num_2d_segs)
+            limapio.save_txt_segments(seg_folder, img_id, segs)
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            list(ex.map(work, imagecols.get_img_ids()))
+        all_segs = limapio.read_all_segments_from_folder(seg_folder)
+        return {i: all_segs[i] for i in imagecols.get_img_ids()}
